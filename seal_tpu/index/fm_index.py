@@ -1,0 +1,290 @@
+"""Host FM-index over a token corpus, backed by dense NumPy arrays.
+
+API parity with the reference ``seal/index.py`` (class ``FMIndex``,
+``index.py:20-204``) and the C++ wrapper it subclasses
+(``seal/cpp_modules/fm_index.cpp``), re-designed for a dense, device-shippable
+layout instead of a succinct wavelet tree:
+
+* ``text``  -- the concatenation of the *reversed* documents (reference
+  ``index.py:52,61``), with every token id shifted by +1 and a terminal 0
+  sentinel.  Storing reversed docs makes *appending* a token during
+  generation equal to one *backward-search* step, exactly as in the
+  reference.
+* ``sa``    -- full suffix array of ``text``; ``locate`` (reference
+  ``fm_index.cpp:163-167``) becomes a single gather instead of a
+  sampled-SA walk.
+* ``psi``   -- the Psi array (inverse LF mapping).  ``Occ(c, pos)`` =
+  ``searchsorted(psi[C[c]:C[c+1]], pos)``, so a backward-search step
+  (reference ``fm_index.cpp:67-76``) is a pair of branchless binary
+  searches -- the form that vectorizes over beams on TPU.
+* ``C``     -- cumulative symbol counts (``C[v]`` = #symbols < v).
+
+Ranges are half-open ``[low, high)`` everywhere (the reference's sdsl
+wrapper uses inclusive high bounds and patches ``+1`` at
+``index.py:102-111``; we do not reproduce that quirk, only its observable
+semantics through ``get_range``/``get_count``).
+"""
+
+from __future__ import annotations
+
+import bisect
+import json
+import os
+import pickle
+from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from seal_tpu.index.suffix_array import build_suffix_array
+
+SHIFT = 1  # real token ids are stored +1; 0 is the terminal sentinel
+
+
+class FMIndex:
+    """Dense FM-index with the reference's Python API surface.
+
+    Attributes mirror the reference class (``seal/index.py:25-37``):
+    ``beginnings`` (document start offsets in token space), ``occurring``
+    (vocab present in the corpus), ``occurring_distinct`` /
+    ``occurring_counts`` (the step-1 allowed-token set used by constrained
+    decoding), and ``labels`` (docids).
+    """
+
+    def __init__(self):
+        self.beginnings: List[int] = [0]
+        self.occurring: List[int] = []
+        self.occurring_distinct: List[int] = []
+        self.occurring_counts: List[int] = []
+        self.labels: Optional[List[str]] = None
+
+        self.text: Optional[np.ndarray] = None  # int32 [N], shifted, sentinel last
+        self.sa: Optional[np.ndarray] = None  # int32/int64 [N]
+        self.psi: Optional[np.ndarray] = None  # int32/int64 [N]
+        self.C: Optional[np.ndarray] = None  # int64 [sigma+1]
+        self._bwt: Optional[np.ndarray] = None  # lazy
+
+    # ------------------------------------------------------------------ build
+
+    def initialize(
+        self,
+        sequences: Iterable[Sequence[int]],
+        in_memory: bool = True,
+        labels: Optional[List[str]] = None,
+    ) -> None:
+        """Build the index from an iterable of token-id lists.
+
+        Parity: reference ``index.py:39-66``.  ``in_memory`` is accepted for
+        API compatibility; the dense build always streams through NumPy.
+        """
+        del in_memory
+        chunks: List[np.ndarray] = []
+        occurring: set = set()
+        for seq in sequences:
+            arr = np.asarray(seq, dtype=np.int64)
+            if arr.size == 0:
+                raise ValueError("empty documents are not supported")
+            if arr.min() < 0:
+                raise ValueError("token ids must be non-negative")
+            self.beginnings.append(self.beginnings[-1] + int(arr.size))
+            occurring |= set(np.unique(arr).tolist())
+            chunks.append((arr[::-1] + SHIFT).astype(np.int32))
+        if not chunks:
+            raise ValueError("no documents given")
+        self.occurring = list(occurring)
+        text = np.concatenate(chunks + [np.zeros(1, dtype=np.int32)])
+        self._finish_build(text)
+        if labels is not None:
+            self.labels = list(labels)
+
+    def _finish_build(self, text: np.ndarray) -> None:
+        self.text = np.ascontiguousarray(text, dtype=np.int32)
+        self.sa = build_suffix_array(self.text)
+        self._derive()
+
+    def _derive(self) -> None:
+        """Compute psi, C and the step-1 token statistics from text+sa."""
+        n = self.text.size
+        dtype = np.int32 if n < 2**31 else np.int64
+        self.sa = self.sa.astype(dtype)
+        isa = np.empty(n, dtype=dtype)
+        isa[self.sa] = np.arange(n, dtype=dtype)
+        nxt = self.sa.astype(np.int64) + 1
+        nxt[nxt == n] = 0
+        self.psi = isa[nxt]
+        sigma = int(self.text.max()) + 1
+        counts = np.bincount(self.text, minlength=sigma)
+        self.C = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        # Step-1 allowed set: exact corpus histogram (the reference computes
+        # this through a BWT range query at index.py:66 with an off-by-one
+        # that may drop one occurrence; we use the exact histogram).
+        tok_counts = counts[SHIFT:]
+        nz = np.nonzero(tok_counts)[0]
+        self.occurring_distinct = nz.tolist()
+        self.occurring_counts = tok_counts[nz].tolist()
+        self._bwt = None
+
+    # ------------------------------------------------------------- core query
+
+    @property
+    def bwt(self) -> np.ndarray:
+        """BWT of ``text`` (lazy).  ``bwt[i] = text[(sa[i] - 1) mod N]``."""
+        if self._bwt is None:
+            prev = self.sa.astype(np.int64) - 1
+            prev[prev < 0] = self.text.size - 1
+            self._bwt = self.text[prev]
+        return self._bwt
+
+    def size(self) -> int:
+        """Number of FM-index rows (corpus tokens + sentinel)."""
+        return int(self.text.size)
+
+    def __len__(self) -> int:
+        """Corpus length in tokens (parity: reference ``index.py:173-177``)."""
+        return self.beginnings[-1]
+
+    @property
+    def n_docs(self) -> int:
+        return len(self.beginnings) - 1
+
+    def occ(self, symbol: int, pos: int) -> int:
+        """#occurrences of (shifted) ``symbol`` in ``bwt[0:pos)``."""
+        lo, hi = int(self.C[symbol]), int(self.C[symbol + 1])
+        return int(np.searchsorted(self.psi[lo:hi], pos, side="left"))
+
+    def backward_search_step(self, symbol: int, low: int, high: int) -> Tuple[int, int]:
+        """One LF step on half-open ``[low, high)`` with *shifted* ``symbol``.
+
+        Dense equivalent of reference ``fm_index.cpp:67-76`` (which uses
+        sdsl's inclusive bounds; we use half-open throughout).
+        """
+        if symbol < 0 or symbol + 1 >= self.C.size:
+            return 0, 0
+        base = int(self.C[symbol])
+        return base + self.occ(symbol, low), base + self.occ(symbol, high)
+
+    def get_range(self, sequence: Sequence[int]) -> Tuple[int, int]:
+        """Half-open row range of the token sequence (un-shifted ids).
+
+        Feeding tokens first-to-last matches occurrences of the sequence in
+        the *forward* documents because documents are stored reversed
+        (parity: reference ``index.py:102-111``).
+        """
+        low, high = 0, self.size()
+        for token in sequence:
+            low, high = self.backward_search_step(int(token) + SHIFT, low, high)
+            if low >= high:
+                return low, low
+        return low, high
+
+    def get_count(self, sequence: Sequence[int]) -> int:
+        low, high = self.get_range(sequence)
+        return high - low
+
+    def locate(self, row: int) -> int:
+        """Corpus position (in reversed-text coordinates) of an index row.
+
+        Parity: reference ``fm_index.cpp:163-167`` (a sampled-SA walk there;
+        a single array load here).
+        """
+        if row >= self.size():
+            return -1
+        return int(self.sa[row])
+
+    def extract_text(self, begin: int, end: int) -> List[int]:
+        """Shifted symbols ``text[end-1], ..., text[begin]`` (reference
+        ``fm_index.cpp:169-184`` reconstructs the same order by walking the
+        BWT; here it is a reversed slice)."""
+        return self.text[begin:end][::-1].tolist()
+
+    # ------------------------------------------------------------- doc lookup
+
+    def get_doc(self, doc_index: int) -> List[int]:
+        """Forward token ids of a document (parity: ``index.py:68-75``)."""
+        doc = self.extract_text(self.beginnings[doc_index], self.beginnings[doc_index + 1])
+        return [x - SHIFT for x in doc]
+
+    def get_doc_index(self, token_index: int) -> int:
+        """Document containing a corpus position (parity: ``index.py:77-82``)."""
+        return bisect.bisect_right(self.beginnings, token_index) - 1
+
+    def get_doc_length(self, doc_index: int) -> int:
+        return self.beginnings[doc_index + 1] - self.beginnings[doc_index]
+
+    def get_token_index_from_row(self, row: int) -> int:
+        return self.locate(row)
+
+    def get_doc_index_from_row(self, row: int) -> int:
+        return self.get_doc_index(self.locate(row))
+
+    def get_doc_indices(self, sequence: Sequence[int]) -> Iterator[int]:
+        low, high = self.get_range(sequence)
+        for row in range(low, high):
+            yield self.get_doc_index_from_row(row)
+
+    # ------------------------------------------------- distinct continuations
+
+    def get_continuations(self, sequence: Sequence[int]) -> List[int]:
+        low, high = self.get_range(sequence)
+        return self.get_distinct(low, high)
+
+    def distinct(self, low: int, high: int) -> List[int]:
+        """Distinct *shifted* symbols in ``bwt[low:high)`` (ascending)."""
+        if low >= high:
+            return []
+        return np.unique(self.bwt[low:high]).tolist()
+
+    def distinct_count(self, low: int, high: int) -> List[int]:
+        """Flat ``[sym0, count0, sym1, count1, ...]`` over shifted symbols
+        (wire-format parity with reference ``fm_index.cpp:91-109``)."""
+        if low >= high:
+            return []
+        syms, counts = np.unique(self.bwt[low:high], return_counts=True)
+        out: List[int] = []
+        for s, c in zip(syms.tolist(), counts.tolist()):
+            out.extend((s, c))
+        return out
+
+    def get_distinct(self, low: int, high: int) -> List[int]:
+        return [c - SHIFT for c in self.distinct(low, high) if c > 0]
+
+    def get_distinct_count(self, low: int, high: int) -> Tuple[List[int], List[int]]:
+        data = self.distinct_count(low, high)
+        distinct, counts = [], []
+        for d, c in zip(data[0::2], data[1::2]):
+            if d > 0:
+                distinct.append(d - SHIFT)
+                counts.append(c)
+        return distinct, counts
+
+    def get_distinct_count_multi(
+        self, lows: Sequence[int], highs: Sequence[int]
+    ) -> List[Tuple[List[int], List[int]]]:
+        """Batched variant (reference fans out one std::async thread per
+        interval, ``fm_index.cpp:111-131``; the TPU query path replaces this
+        wholesale -- this host version exists for API/test parity)."""
+        return [self.get_distinct_count(lo, hi) for lo, hi in zip(lows, highs)]
+
+    # ------------------------------------------------------------ persistence
+
+    def save(self, path: str) -> None:
+        """Write ``<path>.fmi.npz`` (arrays) + ``<path>.oth`` (metadata pickle,
+        same tuple layout as reference ``index.py:186-192``)."""
+        np.savez(path + ".fmi.npz", text=self.text, sa=self.sa)
+        with open(path + ".oth", "wb") as f:
+            pickle.dump((self.beginnings, self.occurring, self.labels), f)
+
+    @classmethod
+    def load(cls, path: str) -> "FMIndex":
+        index = cls()
+        with np.load(path + ".fmi.npz") as data:
+            index.text = data["text"]
+            index.sa = data["sa"]
+        with open(path + ".oth", "rb") as f:
+            index.beginnings, index.occurring, index.labels = pickle.load(f)
+        index._derive()
+        return index
+
+    # ------------------------------------------------------------- utilities
+
+    def doc_boundaries(self) -> np.ndarray:
+        return np.asarray(self.beginnings, dtype=np.int64)
