@@ -171,9 +171,10 @@ class FMIndex:
         """
         low, high = 0, self.size()
         for token in sequence:
+            # an empty range stays empty under further steps; no early return
+            # so host and device (which always runs the full scan) agree on
+            # the representative (low == high) of empty ranges
             low, high = self.backward_search_step(int(token) + SHIFT, low, high)
-            if low >= high:
-                return low, low
         return low, high
 
     def get_count(self, sequence: Sequence[int]) -> int:

@@ -1,0 +1,206 @@
+"""Batched FM-index query ops (pure jnp; jit/vmap/shard-friendly).
+
+These replace the reference's per-interval C++ calls:
+
+* ``backward_step``       <- sdsl ``backward_search`` (``fm_index.cpp:67-76``)
+* ``count_sequences``     <- ``FMIndex.get_count`` loops (``index.py:102-118``)
+* ``window_continuations``/``validate_tokens`` <- ``interval_symbols`` /
+  ``distinct_count_multi`` (``fm_index.cpp:78-131``).  Instead of enumerating
+  the distinct-symbol *set* of a BWT interval (variable-length, host-only),
+  we either (a) gather the interval's BWT window directly when it is small --
+  exhaustive -- or (b) *validate* externally proposed candidate tokens with a
+  rank query each.  Both are fixed-shape and batch over beams.
+* ``locate_rows``         <- SA sampling walk (``fm_index.cpp:163-167``)
+* ``dense_counts``        <- full count vector; exact but O(vocab) -- used for
+  parity tests and an optional exact decoding mode.
+
+All ops take *unshifted* token ids and shift internally (host SHIFT == 1).
+Every op accepts arbitrary leading batch dims on its query operands.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from seal_tpu.index.device_index import DeviceFMIndex
+from seal_tpu.index.fm_index import SHIFT
+
+
+def _searchsorted_psi(index: DeviceFMIndex, lo, hi, pos):
+    """Branchless binary search: smallest i in [lo, hi] s.t. psi[i] >= pos.
+
+    ``lo``/``hi``/``pos`` share a shape; returns that shape (int32).
+    Invariant: the answer lies in [lo, hi]; each iteration halves the span.
+    """
+    psi = index.psi
+
+    def body(_, state):
+        lo, hi = state
+        mid = (lo + hi) >> 1
+        active = lo < hi
+        go_right = psi[mid] < pos
+        new_lo = jnp.where(active & go_right, mid + 1, lo)
+        new_hi = jnp.where(active & ~go_right, mid, hi)
+        return new_lo, new_hi
+
+    lo, hi = lax.fori_loop(0, index.search_iters, body, (lo, hi))
+    return lo
+
+
+def rank(index: DeviceFMIndex, symbol, pos):
+    """Occ(symbol, pos): #occurrences of *shifted* symbol in bwt[0:pos).
+
+    Equals ``searchsorted(psi[C[c]:C[c+1]], pos)`` because psi restricted to
+    a symbol's row block is strictly increasing.
+    """
+    symbol = jnp.asarray(symbol, jnp.int32)
+    pos = jnp.asarray(pos, jnp.int32)
+    valid = (symbol >= 0) & (symbol < index.sigma)
+    c = jnp.where(valid, symbol, 0)
+    lo = index.C[c]
+    hi = index.C[c + 1]
+    row = _searchsorted_psi(index, lo, hi, jnp.broadcast_to(pos, lo.shape))
+    return jnp.where(valid, row - index.C[c], 0)
+
+
+def backward_step(index: DeviceFMIndex, token, lo, hi):
+    """One backward-search step on half-open [lo, hi) with *unshifted* token.
+
+    Appending ``token`` to a generated sequence == prepending it in the
+    reversed corpus == one LF step (reference ``index.py:102-111``).
+    Empty in, empty out.
+    """
+    token = jnp.asarray(token, jnp.int32)
+    c = token + SHIFT
+    valid = (c >= 1) & (c < index.sigma)
+    safe_c = jnp.where(valid, c, 0)
+    base = index.C[safe_c]
+    new_lo = base + rank(index, safe_c, lo)
+    new_hi = base + rank(index, safe_c, hi)
+    new_lo = jnp.where(valid, new_lo, 0)
+    new_hi = jnp.where(valid, new_hi, 0)
+    new_hi = jnp.maximum(new_lo, new_hi)
+    return new_lo.astype(jnp.int32), new_hi.astype(jnp.int32)
+
+
+def range_for_sequences(index: DeviceFMIndex, tokens, lengths):
+    """Row ranges for a batch of padded token sequences.
+
+    tokens: int32 [..., L] (unshifted); lengths: int32 [...].
+    Positions >= length are ignored.  Returns (lo, hi) of shape [...].
+    """
+    tokens = jnp.asarray(tokens, jnp.int32)
+    lengths = jnp.asarray(lengths, jnp.int32)
+    lo, hi = index.full_range(tokens.shape[:-1])
+
+    def body(carry, tok_t):
+        lo, hi, t = carry
+        new_lo, new_hi = backward_step(index, tok_t, lo, hi)
+        keep = t < lengths
+        lo = jnp.where(keep, new_lo, lo)
+        hi = jnp.where(keep, new_hi, hi)
+        return (lo, hi, t + 1), None
+
+    (lo, hi, _), _ = lax.scan(body, (lo, hi, jnp.int32(0)), jnp.moveaxis(tokens, -1, 0))
+    return lo, hi
+
+
+def count_sequences(index: DeviceFMIndex, tokens, lengths):
+    """Corpus occurrence counts for padded sequences (``get_count`` parity)."""
+    lo, hi = range_for_sequences(index, tokens, lengths)
+    return hi - lo
+
+
+def bwt_at(index: DeviceFMIndex, rows):
+    """BWT symbols at the given rows, *unshifted* (sentinel -> -1).
+
+    bwt[r] = text[(sa[r] - 1) mod N]; computed with two gathers instead of
+    storing an explicit BWT array.
+    """
+    rows = jnp.asarray(rows, jnp.int32)
+    prev = index.sa[rows] - 1
+    prev = jnp.where(prev < 0, index.n_rows - 1, prev)
+    return index.text[prev] - SHIFT
+
+
+def window_continuations(index: DeviceFMIndex, lo, hi, window: int):
+    """Continuation tokens in rows [lo, min(hi, lo+window)).
+
+    Returns (tokens [..., window], valid [..., window]).  Exhaustive when
+    ``hi - lo <= window``; a deterministic sample of the interval otherwise.
+    Invalid/sentinel slots are -1.
+    """
+    lo = jnp.asarray(lo, jnp.int32)
+    hi = jnp.asarray(hi, jnp.int32)
+    offs = jnp.arange(window, dtype=jnp.int32)
+    rows = lo[..., None] + offs
+    valid = rows < hi[..., None]
+    safe_rows = jnp.where(valid, rows, 0)
+    toks = bwt_at(index, safe_rows)
+    valid = valid & (toks >= 0)
+    return jnp.where(valid, toks, -1), valid
+
+
+def validate_tokens(index: DeviceFMIndex, tokens, lo, hi):
+    """Counts of each candidate continuation token of ranges [lo, hi).
+
+    tokens: int32 [..., M] unshifted; lo/hi: [...].  Returns int32 [..., M]:
+    the occurrence count of range+token (0 = not a valid continuation).
+    Replaces the reference's per-beam ``distinct_count_multi`` fan-out with
+    2*M rank queries per range.
+    """
+    tokens = jnp.asarray(tokens, jnp.int32)
+    lo_b = jnp.broadcast_to(lo[..., None], tokens.shape)
+    hi_b = jnp.broadcast_to(hi[..., None], tokens.shape)
+    new_lo, new_hi = backward_step(index, tokens, lo_b, hi_b)
+    return new_hi - new_lo
+
+
+def extend_ranges(index: DeviceFMIndex, tokens, lo, hi):
+    """Ranges after appending one token per batch element (shapes match)."""
+    return backward_step(index, tokens, lo, hi)
+
+
+def locate_rows(index: DeviceFMIndex, rows):
+    """Corpus positions (reversed-text coordinates) of index rows; single
+    gather (reference walks the sampled SA, ``fm_index.cpp:163-167``)."""
+    rows = jnp.asarray(rows, jnp.int32)
+    ok = (rows >= 0) & (rows < index.n_rows)
+    return jnp.where(ok, index.sa[jnp.where(ok, rows, 0)], -1)
+
+
+def doc_index_of(index: DeviceFMIndex, positions):
+    """Document index containing each corpus position (bisect_right - 1,
+    parity with reference ``index.py:77-82``)."""
+    positions = jnp.asarray(positions, jnp.int32)
+    return (
+        jnp.searchsorted(index.beginnings, positions, side="right").astype(jnp.int32) - 1
+    )
+
+
+def dense_counts(index: DeviceFMIndex, lo, hi, chunk: int = 4096):
+    """Exact continuation-count vector over the whole model vocab.
+
+    Returns int32 [..., vocab]: count of every possible next token for each
+    range.  Cost O(vocab * log N) rank queries per range -- use for parity
+    tests / exact mode on small problems; production decoding uses
+    window+validate.
+    """
+    lo = jnp.asarray(lo, jnp.int32)
+    hi = jnp.asarray(hi, jnp.int32)
+    vocab = index.vocab
+    pad = (-vocab) % chunk
+    n_chunks = (vocab + pad) // chunk
+
+    def body(start, _):
+        toks = start + jnp.arange(chunk, dtype=jnp.int32)
+        toks_b = jnp.broadcast_to(toks, lo.shape + (chunk,))
+        cnt = validate_tokens(index, toks_b, lo, hi)
+        return start + chunk, cnt
+
+    _, chunks = lax.scan(body, jnp.int32(0), None, length=n_chunks)
+    # chunks: [n_chunks, ..., chunk] -> [..., n_chunks*chunk]
+    counts = jnp.moveaxis(chunks, 0, -2).reshape(lo.shape + (n_chunks * chunk,))
+    return counts[..., :vocab]
