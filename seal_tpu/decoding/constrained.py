@@ -1,0 +1,386 @@
+"""Fused FM-index-constrained beam search: one jitted scan, no host round-trips.
+
+Semantics replicate the reference decode stack
+(``/root/reference/seal/beam_search.py``):
+
+* **Dual scoring** (``beam_search.py:301-307``): candidates are *selected* by
+  the constrained scores (log-softmax + FM mask + beam scores) but the scores
+  that *accumulate* are the unconstrained ones, so generated ngrams are
+  corpus-grounded yet scored by the raw LM.
+* **History** (``BeamSearchScorerWithMemory``, ``beam_search.py:559-758``):
+  every candidate at every step is recorded; hypotheses are extracted on host
+  afterwards (``generate.py``).
+* **Processor branches** (``IndexBasedLogitsProcessor.__call__``,
+  ``beam_search.py:62-140``): step-1 allows the corpus-wide token set;
+  EOS/PAD-terminated beams allow only PAD; ``stop_at_count`` forces EOS when
+  the previous prefix's corpus count drops to the threshold;
+  ``always_allow_eos`` un-masks EOS; ``force_decoding_from`` prefixes the
+  constraint sequence (but, like the reference, does *not* constrain step 1).
+
+The TPU-native departure: instead of materializing the distinct-symbol set of
+each beam's FM-interval (the wavelet-tree ``interval_symbols`` fan-out,
+``fm_index.cpp:111-131``), constraints are enforced by
+
+1. *validating* the top-M tokens of the LM distribution with one batched
+   backward-search step each (2 binary searches), and
+2. *enumerating* the interval's BWT window exhaustively when the interval is
+   small (``window`` rows) -- which is exactly the regime where valid
+   continuations might be missed by (1).
+
+``exact_mask=True`` switches to a dense O(vocab) rank sweep for bit-exact
+reference semantics (used by parity tests and available for small corpora).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from seal_tpu.index.device_index import DeviceFMIndex
+from seal_tpu.models import bart
+from seal_tpu.models.config import BartConfig
+from seal_tpu.ops import fm_ops
+
+NEG_INF = float(np.finfo(np.float32).min) / 2  # large-negative, -inf-safe
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeConfig:
+    """Static generation knobs (hashable -> part of the jit signature)."""
+
+    num_beams: int = 5
+    max_length: int = 25  # total decoder length incl. decoder_start
+    min_length: int = 3
+    eos_token_id: int = 2
+    pad_token_id: int = 1
+    decoder_start_token_id: int = 2
+    forced_bos_token_id: Optional[int] = None
+    force_decoding_from: Optional[Tuple[int, ...]] = None
+    stop_at_count: int = 0
+    always_allow_eos: bool = False
+    disable_fm_index: bool = False
+    top_m: int = 256  # speculative candidates validated per beam per step
+    window: int = 128  # BWT rows enumerated per beam per step
+    exact_mask: bool = False  # dense O(vocab) mask (parity mode)
+    dense_chunk: int = 2048
+
+    @property
+    def num_steps(self) -> int:
+        n = self.max_length - 1
+        if self.forced_bos_token_id is not None:
+            n -= 1
+        return max(n, 0)
+
+
+@dataclasses.dataclass
+class BeamSearchOutput:
+    """Device outputs of the fused scan (host arrays after jit)."""
+
+    cand_tokens: Any  # int32 [S, B, 2K]   all candidates per step
+    cand_parents: Any  # int32 [S, B, 2K]  parent beam of each candidate
+    cand_scores: Any  # f32  [S, B, 2K]    cumulative unconstrained scores
+    cand_finite: Any  # bool [S, B, 2K]    constrained score was finite
+    sel_tokens: Any  # int32 [S, B, K]     continuing-beam tokens
+    sel_parents: Any  # int32 [S, B, K]
+    final_scores: Any  # f32 [B, K]        cumulative scores of final beams
+    final_tokens: Any  # int32 [B, K, L]   final beam token buffers
+
+
+def _log_softmax(logits):
+    return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+
+def _apply_min_length(lp, cur_len, cfg: DecodeConfig):
+    """HF MinLengthLogitsProcessor: ban EOS while cur_len < min_length."""
+    ban = cur_len < cfg.min_length
+    eos_col = lp[:, cfg.eos_token_id]
+    lp = lp.at[:, cfg.eos_token_id].set(jnp.where(ban, NEG_INF, eos_col))
+    return lp
+
+
+def _candidates_general(
+    index: DeviceFMIndex,
+    cfg: DecodeConfig,
+    lp,  # [B*K, V] processed logprobs
+    lo,  # [B, K]
+    hi,  # [B, K]
+    prev_count,  # [B, K]
+    finished,  # [B, K] bool: last token was EOS or PAD
+):
+    """Build the per-beam candidate set for steps >= 1.
+
+    Returns (tokens, allowed, cand_lp): each [B, K, Ncand].
+    """
+    B, K = lo.shape
+    V = lp.shape[-1]
+    lp = lp.reshape(B, K, V)
+
+    if cfg.exact_mask and not cfg.disable_fm_index:
+        # dense parity mode: the candidate set is the whole vocab
+        counts = fm_ops.dense_counts(index, lo, hi, chunk=cfg.dense_chunk)  # [B,K,V]
+        tokens = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32), (B, K, V))
+        fm_valid = counts > 0
+        cand_lp = lp
+        return _apply_branches(cfg, tokens, fm_valid, cand_lp, prev_count, finished)
+
+    # --- speculative top-M ------------------------------------------------
+    top_lp, top_tok = lax.top_k(lp, cfg.top_m)  # [B,K,M]
+    if cfg.disable_fm_index:
+        tokens = top_tok.astype(jnp.int32)
+        fm_valid = jnp.ones(tokens.shape, bool)
+        return _apply_branches(cfg, tokens, fm_valid, top_lp, prev_count, finished)
+
+    top_counts = fm_ops.validate_tokens(index, top_tok.astype(jnp.int32), lo, hi)
+    # --- exhaustive small-interval window --------------------------------
+    win_tok, win_valid = fm_ops.window_continuations(index, lo, hi, cfg.window)
+    win_tok = jnp.where(win_valid, win_tok, cfg.pad_token_id).astype(jnp.int32)
+    win_lp = jnp.take_along_axis(lp, win_tok.astype(jnp.int32), axis=-1)
+    # --- explicit EOS slot (PAD is in no corpus; EOS handled by branches) -
+    eos_tok = jnp.full((B, K, 1), cfg.eos_token_id, jnp.int32)
+    eos_cnt = fm_ops.validate_tokens(index, eos_tok, lo, hi)
+    eos_lp = lp[..., cfg.eos_token_id][..., None]
+    pad_tok = jnp.full((B, K, 1), cfg.pad_token_id, jnp.int32)
+    pad_lp = lp[..., cfg.pad_token_id][..., None]
+
+    tokens = jnp.concatenate([top_tok.astype(jnp.int32), win_tok, eos_tok, pad_tok], -1)
+    fm_valid = jnp.concatenate(
+        [top_counts > 0, win_valid, eos_cnt > 0, jnp.zeros((B, K, 1), bool)], -1
+    )
+    cand_lp = jnp.concatenate([top_lp, win_lp, eos_lp, pad_lp], -1)
+    return _apply_branches(cfg, tokens, fm_valid, cand_lp, prev_count, finished)
+
+
+def _apply_branches(cfg: DecodeConfig, tokens, fm_valid, cand_lp, prev_count, finished):
+    """Reference branch logic (beam_search.py:114-138) on candidate level."""
+    if cfg.disable_fm_index:
+        return tokens, jnp.ones(tokens.shape, bool), cand_lp
+    is_eos = tokens == cfg.eos_token_id
+    is_pad = tokens == cfg.pad_token_id
+    count_eff = jnp.where(finished, 0, prev_count)  # beam_search.py:90-93
+    stop_trig = (cfg.stop_at_count > 0) & (count_eff <= cfg.stop_at_count)
+    allowed = jnp.where(
+        stop_trig[..., None],
+        is_eos,
+        jnp.where(finished[..., None], is_pad, fm_valid),
+    )
+    if cfg.always_allow_eos:
+        allowed = allowed | is_eos
+    return tokens, allowed, cand_lp
+
+
+def _dedup_mask(tokens, scores):
+    """Within each beam's candidate list, keep one instance per token id.
+
+    Duplicate instances of a token carry identical scores, so dropping all
+    but one is exact.  Returns a bool keep-mask aligned with ``tokens``.
+    """
+    order = jnp.argsort(tokens, axis=-1)
+    sorted_tok = jnp.take_along_axis(tokens, order, axis=-1)
+    dup_sorted = jnp.concatenate(
+        [
+            jnp.zeros(sorted_tok.shape[:-1] + (1,), bool),
+            sorted_tok[..., 1:] == sorted_tok[..., :-1],
+        ],
+        -1,
+    )
+    # scatter back to original order
+    inv = jnp.argsort(order, axis=-1)
+    dup = jnp.take_along_axis(dup_sorted, inv, axis=-1)
+    return ~dup
+
+
+def _select(cfg: DecodeConfig, cons_scores, uncons_scores, tokens, K):
+    """topk(2K) by constrained score + first-K-non-EOS continuation rule
+    (``beam_search.py:301-320`` + scorer ``process`` at ``:658-695``)."""
+    B = cons_scores.shape[0]
+    ncand = cons_scores.shape[-1]
+    flat_cons = cons_scores.reshape(B, K * ncand)
+    flat_uncons = uncons_scores.reshape(B, K * ncand)
+    flat_tok = tokens.reshape(B, K * ncand)
+
+    top_cons, top_idx = lax.top_k(flat_cons, 2 * K)  # [B, 2K]
+    top_tok = jnp.take_along_axis(flat_tok, top_idx, axis=-1)
+    top_uncons = jnp.take_along_axis(flat_uncons, top_idx, axis=-1)
+    top_parent = (top_idx // ncand).astype(jnp.int32)
+
+    # continuing beams: first K candidates whose token != EOS, in order
+    non_eos = top_tok != cfg.eos_token_id
+    order = jnp.argsort(~non_eos, axis=-1, stable=True)
+    cont = order[:, :K]
+    sel_tok = jnp.take_along_axis(top_tok, cont, axis=-1)
+    sel_parent = jnp.take_along_axis(top_parent, cont, axis=-1)
+    sel_uncons = jnp.take_along_axis(top_uncons, cont, axis=-1)
+    return (
+        top_tok,
+        top_parent,
+        top_uncons,
+        top_cons > NEG_INF / 4,
+        sel_tok,
+        sel_parent,
+        sel_uncons,
+    )
+
+
+def constrained_beam_search(
+    model_cfg: BartConfig,
+    params,
+    index: DeviceFMIndex,
+    cfg: DecodeConfig,
+    enc_out,  # [B, Lsrc, D]  encoder output (NOT beam-tiled)
+    enc_mask,  # [B, Lsrc]
+) -> BeamSearchOutput:
+    """Run the fused constrained beam search for a batch of queries."""
+    B = enc_out.shape[0]
+    K = cfg.num_beams
+    L = cfg.max_length
+    S = cfg.num_steps
+    V = model_cfg.vocab_size
+
+    # ---- beam-tiled encoder state ---------------------------------------
+    enc_tiled = jnp.repeat(enc_out, K, axis=0)  # [B*K, Lsrc, D]
+    mask_tiled = jnp.repeat(enc_mask, K, axis=0)
+    cross_kv = bart.precompute_cross_kv(model_cfg, params, enc_tiled)
+    enc_bias = bart.encoder_bias(mask_tiled)
+    self_cache = bart.empty_self_cache(model_cfg, B * K, L)
+
+    tokens = jnp.full((B * K, L), cfg.pad_token_id, jnp.int32)
+    tokens = tokens.at[:, 0].set(cfg.decoder_start_token_id)
+    beam_scores = jnp.full((B, K), NEG_INF, jnp.float32).at[:, 0].set(0.0)
+
+    # ---- constraint state ------------------------------------------------
+    if cfg.force_decoding_from:
+        fseq = np.asarray(cfg.force_decoding_from, np.int32)
+        flo, fhi = fm_ops.range_for_sequences(
+            index, jnp.asarray(fseq)[None, :], jnp.asarray([len(fseq)], jnp.int32)
+        )
+        lo0 = jnp.broadcast_to(flo[0], (B, K)).astype(jnp.int32)
+        hi0 = jnp.broadcast_to(fhi[0], (B, K)).astype(jnp.int32)
+    else:
+        lo0, hi0 = index.full_range((B, K))
+    pos0 = jnp.int32(0)
+
+    # ---- optional forced BOS step ---------------------------------------
+    if cfg.forced_bos_token_id is not None:
+        bos = cfg.forced_bos_token_id
+        logits, self_cache = bart.decode_step(
+            model_cfg, params, tokens[:, 0], pos0, self_cache, cross_kv, enc_bias
+        )
+        lp = _log_softmax(logits).reshape(B, K, V)
+        beam_scores = beam_scores + lp[:, :, bos]
+        tokens = tokens.at[:, 1].set(bos)
+        pos0 = jnp.int32(1)
+
+    # ---- step 0: first constrained token (dense corpus mask) ------------
+    start_col = 1 if cfg.forced_bos_token_id is None else 2
+    logits, self_cache = bart.decode_step(
+        model_cfg, params, tokens[:, start_col - 1], pos0, self_cache, cross_kv, enc_bias
+    )
+    lp = _apply_min_length(_log_softmax(logits), start_col, cfg)
+    lp = lp.reshape(B, K, V)
+    if cfg.disable_fm_index:
+        cons0 = lp
+    else:
+        corpus_mask = index.corpus_counts > 0  # occurring_distinct parity
+        cons0 = jnp.where(corpus_mask[None, None, :], lp, NEG_INF)
+    tokens_all = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32), (B, K, V))
+    (
+        c_tok0,
+        c_par0,
+        c_sco0,
+        c_fin0,
+        sel_tok,
+        sel_par,
+        beam_scores,
+    ) = _select(cfg, cons0 + beam_scores[..., None], lp + beam_scores[..., None], tokens_all, K)
+
+    flat_sel = (jnp.arange(B)[:, None] * K + sel_par).reshape(-1)
+    tokens = tokens[flat_sel].at[:, start_col].set(sel_tok.reshape(-1))
+    self_cache = bart.reorder_cache(self_cache, flat_sel)
+    prev_count = (hi0 - lo0)[jnp.arange(B)[:, None], sel_par]
+    lo, hi = fm_ops.extend_ranges(
+        index,
+        sel_tok,
+        lo0[jnp.arange(B)[:, None], sel_par],
+        hi0[jnp.arange(B)[:, None], sel_par],
+    )
+
+    hist0 = (c_tok0, c_par0, c_sco0, c_fin0, sel_tok, sel_par)
+
+    # ---- steps 1..S-1 inside one scan ------------------------------------
+    def step(carry, t):
+        tokens, beam_scores, self_cache, lo, hi, prev_count = carry
+        cur_col = start_col + t  # column holding the last written token
+        last = lax.dynamic_index_in_dim(tokens, cur_col, axis=1, keepdims=False)
+        logits, new_cache = bart.decode_step(
+            model_cfg, params, last, pos0 + 1 + t, self_cache, cross_kv, enc_bias
+        )
+        lp = _apply_min_length(_log_softmax(logits), cur_col + 1, cfg)
+
+        finished = (last == cfg.eos_token_id) | (last == cfg.pad_token_id)
+        finished = finished.reshape(B, K)
+        cand_tok, allowed, cand_lp = _candidates_general(
+            index, cfg, lp, lo, hi, prev_count, finished
+        )
+        cons = jnp.where(allowed, cand_lp, NEG_INF)
+        keep = _dedup_mask(cand_tok, cons)
+        cons = jnp.where(keep, cons, NEG_INF)
+        cons = cons + beam_scores[..., None]
+        uncons = cand_lp + beam_scores[..., None]
+
+        (c_tok, c_par, c_sco, c_fin, sel_tok, sel_par, new_beam_scores) = _select(
+            cfg, cons, uncons, cand_tok, K
+        )
+
+        flat_sel = (jnp.arange(B)[:, None] * K + sel_par).reshape(-1)
+        new_tokens = tokens[flat_sel]
+        new_tokens = lax.dynamic_update_slice_in_dim(
+            new_tokens, sel_tok.reshape(-1, 1), cur_col + 1, axis=1
+        )
+        new_cache = bart.reorder_cache(new_cache, flat_sel)
+
+        par_rows = jnp.arange(B)[:, None]
+        plo = lo[par_rows, sel_par]
+        phi = hi[par_rows, sel_par]
+        new_prev_count = phi - plo
+        # EOS/PAD selections terminate the constraint sequence (rows (0,0),
+        # beam_search.py:90-93); real tokens extend the parent range.
+        sel_finished = (sel_tok == cfg.eos_token_id) | (sel_tok == cfg.pad_token_id)
+        elo, ehi = fm_ops.extend_ranges(index, sel_tok, plo, phi)
+        new_lo = jnp.where(sel_finished, 0, elo)
+        new_hi = jnp.where(sel_finished, 0, ehi)
+        # carry parent's finished state forward: once finished, stay at (0,0)
+        par_finished = finished[par_rows, sel_par]
+        new_lo = jnp.where(par_finished, 0, new_lo)
+        new_hi = jnp.where(par_finished, 0, new_hi)
+
+        carry = (new_tokens, new_beam_scores, new_cache, new_lo, new_hi, new_prev_count)
+        ys = (c_tok, c_par, c_sco, c_fin, sel_tok, sel_par)
+        return carry, ys
+
+    if S > 1:
+        carry = (tokens, beam_scores, self_cache, lo, hi, prev_count)
+        carry, ys = lax.scan(step, carry, jnp.arange(S - 1, dtype=jnp.int32))
+        tokens, beam_scores = carry[0], carry[1]
+        hist = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a[None], b], axis=0), hist0, ys
+        )
+    else:
+        hist = jax.tree_util.tree_map(lambda a: a[None], hist0)
+
+    c_tok, c_par, c_sco, c_fin, s_tok, s_par = hist
+    return BeamSearchOutput(
+        cand_tokens=c_tok,
+        cand_parents=c_par,
+        cand_scores=c_sco,
+        cand_finite=c_fin,
+        sel_tokens=s_tok,
+        sel_parents=s_par,
+        final_scores=beam_scores,
+        final_tokens=tokens.reshape(B, K, L),
+    )
