@@ -1,0 +1,97 @@
+"""Retrieval CLI: ``python -m seal_tpu.cli.search`` (parity:
+``python -m seal.search``, ``/root/reference/seal/search.py``).
+
+Flags are auto-generated from ``SEALSearcher.DEFAULTS`` (``--dont_X`` for
+True defaults, ``--X`` for False ones), plus topics/output format options.
+"""
+
+from __future__ import annotations
+
+import argparse
+import random
+import sys
+
+
+def main(argv=None):
+    from seal_tpu.data.formats import (
+        OutputFormat,
+        TopicsFormat,
+        get_output_writer,
+        get_query_iterator,
+    )
+    from seal_tpu.retrieval.searcher import SEALSearcher
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--topics", type=str, required=True)
+    parser.add_argument("--hits", type=int, default=100)
+    parser.add_argument(
+        "--topics_format", type=str, default=TopicsFormat.DEFAULT.value,
+        help=f"one of {[x.value for x in TopicsFormat]}",
+    )
+    parser.add_argument(
+        "--output_format", type=str, default=OutputFormat.TREC.value,
+        help=f"one of {[x.value for x in OutputFormat]}",
+    )
+    parser.add_argument("--output", type=str, required=True)
+    parser.add_argument("--max_passage", action="store_true", default=False)
+    parser.add_argument("--max_passage_hits", type=int, default=100)
+    parser.add_argument("--max_passage_delimiter", type=str, default="#")
+    parser.add_argument("--remove_duplicates", action="store_true", default=False)
+    parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--keep_samples", type=int, default=None)
+    parser.add_argument("--chunked", type=int, default=0)
+    SEALSearcher.add_args(parser)
+    args = parser.parse_args(argv)
+    print(args)
+
+    query_iterator = get_query_iterator(args.topics, TopicsFormat(args.topics_format))
+    output_writer = get_output_writer(
+        args.output,
+        OutputFormat(args.output_format),
+        "w",
+        max_hits=args.hits,
+        tag="seal_tpu",
+        topics=query_iterator.topics,
+        use_max_passage=args.max_passage,
+        max_passage_delimiter=args.max_passage_delimiter,
+        max_passage_hits=args.max_passage_hits,
+    )
+
+    if args.debug:
+        query_iterator.order = query_iterator.order[:500]
+        query_iterator.topics = {t: query_iterator.topics[t] for t in query_iterator.order}
+    if args.keep_samples is not None and args.keep_samples < len(query_iterator.order):
+        random.seed(42)
+        random.shuffle(query_iterator.order)
+        query_iterator.order = query_iterator.order[: args.keep_samples]
+        query_iterator.topics = {t: query_iterator.topics[t] for t in query_iterator.order}
+
+    searcher = SEALSearcher.from_args(args)
+
+    def chunks(it, n):
+        buf = []
+        for x in it:
+            buf.append(x)
+            if len(buf) == n:
+                yield buf
+                buf = []
+        if buf:
+            yield buf
+
+    with output_writer:
+        if args.chunked <= 0:
+            topic_ids, texts = zip(*query_iterator)
+            for topic_id, hits in zip(topic_ids, searcher.batch_search(list(texts), k=args.hits)):
+                output_writer.write(topic_id, hits)
+        else:
+            for batch in chunks(iter(query_iterator), args.chunked):
+                topic_ids, texts = zip(*batch)
+                for topic_id, hits in zip(
+                    topic_ids, searcher.batch_search(list(texts), k=args.hits)
+                ):
+                    output_writer.write(topic_id, hits)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

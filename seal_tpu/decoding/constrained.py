@@ -40,6 +40,7 @@ from typing import Any, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import struct
 from jax import lax
 
 from seal_tpu.index.device_index import DeviceFMIndex
@@ -78,7 +79,7 @@ class DecodeConfig:
         return max(n, 0)
 
 
-@dataclasses.dataclass
+@struct.dataclass
 class BeamSearchOutput:
     """Device outputs of the fused scan (host arrays after jit)."""
 
@@ -90,6 +91,11 @@ class BeamSearchOutput:
     sel_parents: Any  # int32 [S, B, K]
     final_scores: Any  # f32 [B, K]        cumulative scores of final beams
     final_tokens: Any  # int32 [B, K, L]   final beam token buffers
+    final_valid: Any  # bool [B, K]        beam never back-filled from a
+    #   masked candidate (when every legal continuation is EOS, the
+    #   first-K-non-EOS rule back-fills beams from -inf candidates; the
+    #   reference emits those too and relies on the searcher's count filter,
+    #   retrieval.py:91 -- we drop them at extraction)
 
 
 def _log_softmax(logits):
@@ -213,17 +219,20 @@ def _select(cfg: DecodeConfig, cons_scores, uncons_scores, tokens, K):
     non_eos = top_tok != cfg.eos_token_id
     order = jnp.argsort(~non_eos, axis=-1, stable=True)
     cont = order[:, :K]
+    finite = top_cons > NEG_INF / 4
     sel_tok = jnp.take_along_axis(top_tok, cont, axis=-1)
     sel_parent = jnp.take_along_axis(top_parent, cont, axis=-1)
     sel_uncons = jnp.take_along_axis(top_uncons, cont, axis=-1)
+    sel_finite = jnp.take_along_axis(finite, cont, axis=-1)
     return (
         top_tok,
         top_parent,
         top_uncons,
-        top_cons > NEG_INF / 4,
+        finite,
         sel_tok,
         sel_parent,
         sel_uncons,
+        sel_finite,
     )
 
 
@@ -297,7 +306,9 @@ def constrained_beam_search(
         sel_tok,
         sel_par,
         beam_scores,
+        sel_fin0,
     ) = _select(cfg, cons0 + beam_scores[..., None], lp + beam_scores[..., None], tokens_all, K)
+    tainted = ~sel_fin0
 
     flat_sel = (jnp.arange(B)[:, None] * K + sel_par).reshape(-1)
     tokens = tokens[flat_sel].at[:, start_col].set(sel_tok.reshape(-1))
@@ -314,7 +325,7 @@ def constrained_beam_search(
 
     # ---- steps 1..S-1 inside one scan ------------------------------------
     def step(carry, t):
-        tokens, beam_scores, self_cache, lo, hi, prev_count = carry
+        tokens, beam_scores, self_cache, lo, hi, prev_count, tainted = carry
         cur_col = start_col + t  # column holding the last written token
         last = lax.dynamic_index_in_dim(tokens, cur_col, axis=1, keepdims=False)
         logits, new_cache = bart.decode_step(
@@ -328,12 +339,15 @@ def constrained_beam_search(
             index, cfg, lp, lo, hi, prev_count, finished
         )
         cons = jnp.where(allowed, cand_lp, NEG_INF)
-        keep = _dedup_mask(cand_tok, cons)
-        cons = jnp.where(keep, cons, NEG_INF)
+        if not (cfg.exact_mask or cfg.disable_fm_index):
+            # speculative candidates can repeat a token (top-M vs window);
+            # duplicates carry identical scores, keep one per token id
+            keep = _dedup_mask(cand_tok, cons)
+            cons = jnp.where(keep, cons, NEG_INF)
         cons = cons + beam_scores[..., None]
         uncons = cand_lp + beam_scores[..., None]
 
-        (c_tok, c_par, c_sco, c_fin, sel_tok, sel_par, new_beam_scores) = _select(
+        (c_tok, c_par, c_sco, c_fin, sel_tok, sel_par, new_beam_scores, sel_fin) = _select(
             cfg, cons, uncons, cand_tok, K
         )
 
@@ -359,14 +373,18 @@ def constrained_beam_search(
         new_lo = jnp.where(par_finished, 0, new_lo)
         new_hi = jnp.where(par_finished, 0, new_hi)
 
-        carry = (new_tokens, new_beam_scores, new_cache, new_lo, new_hi, new_prev_count)
+        new_tainted = tainted[par_rows, sel_par] | ~sel_fin
+        carry = (
+            new_tokens, new_beam_scores, new_cache, new_lo, new_hi, new_prev_count,
+            new_tainted,
+        )
         ys = (c_tok, c_par, c_sco, c_fin, sel_tok, sel_par)
         return carry, ys
 
     if S > 1:
-        carry = (tokens, beam_scores, self_cache, lo, hi, prev_count)
+        carry = (tokens, beam_scores, self_cache, lo, hi, prev_count, tainted)
         carry, ys = lax.scan(step, carry, jnp.arange(S - 1, dtype=jnp.int32))
-        tokens, beam_scores = carry[0], carry[1]
+        tokens, beam_scores, tainted = carry[0], carry[1], carry[6]
         hist = jax.tree_util.tree_map(
             lambda a, b: jnp.concatenate([a[None], b], axis=0), hist0, ys
         )
@@ -383,4 +401,5 @@ def constrained_beam_search(
         sel_parents=s_par,
         final_scores=beam_scores,
         final_tokens=tokens.reshape(B, K, L),
+        final_valid=~tainted,
     )

@@ -1,0 +1,152 @@
+"""Host-facing generation entry point (reference ``fm_index_generate``,
+``/root/reference/seal/beam_search.py:391-557``).
+
+Runs the jitted fused scan and extracts the key hypotheses on host: every
+candidate recorded at every step plus the final beams -- the
+``BeamSearchScorerWithMemory`` semantics (``beam_search.py:549-557``: scores
+reported are cumulative unconstrained log-probs; the length-penalty applied
+at ``add`` time cancels at extraction).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seal_tpu.decoding.constrained import (
+    BeamSearchOutput,
+    DecodeConfig,
+    constrained_beam_search,
+)
+from seal_tpu.index.device_index import DeviceFMIndex
+from seal_tpu.models import bart
+from seal_tpu.models.config import BartConfig
+
+
+def pad_batch(seqs: Sequence[Sequence[int]], pad_id: int, multiple: int = 8):
+    """Right-pad token lists into [B, L] arrays + attention mask."""
+    maxlen = max(len(s) for s in seqs)
+    maxlen = ((maxlen + multiple - 1) // multiple) * multiple
+    ids = np.full((len(seqs), maxlen), pad_id, np.int32)
+    mask = np.zeros((len(seqs), maxlen), np.int32)
+    for i, s in enumerate(seqs):
+        ids[i, : len(s)] = s
+        mask[i, : len(s)] = 1
+    return ids, mask
+
+
+@lru_cache(maxsize=64)
+def _jitted_search(model_cfg: BartConfig, dcfg: DecodeConfig):
+    def run(params, index, ids, mask):
+        enc = bart.encode(model_cfg, params, ids, mask)
+        return constrained_beam_search(model_cfg, params, index, dcfg, enc, mask)
+
+    return jax.jit(run)
+
+
+def extract_hypotheses(
+    out: BeamSearchOutput, dcfg: DecodeConfig
+) -> List[List[Tuple[float, List[int]]]]:
+    """Backtrack the candidate history into (score, token_list) hypotheses.
+
+    Token lists include the decoder-start (and forced-BOS) prefix, exactly
+    like the reference's ``beam_hyp`` contents -- the searcher strips them.
+    """
+    c_tok = np.asarray(out.cand_tokens)
+    c_par = np.asarray(out.cand_parents)
+    c_sco = np.asarray(out.cand_scores)
+    c_fin = np.asarray(out.cand_finite)
+    s_tok = np.asarray(out.sel_tokens)
+    s_par = np.asarray(out.sel_parents)
+    f_sco = np.asarray(out.final_scores)
+    f_tok = np.asarray(out.final_tokens)
+    f_ok = np.asarray(out.final_valid)
+
+    S, B, twoK = c_tok.shape
+    K = s_tok.shape[-1]
+    prefix = [dcfg.decoder_start_token_id]
+    if dcfg.forced_bos_token_id is not None:
+        prefix = prefix + [dcfg.forced_bos_token_id]
+
+    results: List[List[Tuple[float, List[int]]]] = []
+    for b in range(B):
+        prefixes = [list(prefix) for _ in range(K)]
+        hyps: List[Tuple[float, List[int]]] = []
+        for s in range(S):
+            for j in range(twoK):
+                if not c_fin[s, b, j]:
+                    continue
+                hyps.append(
+                    (
+                        float(c_sco[s, b, j]),
+                        prefixes[int(c_par[s, b, j])] + [int(c_tok[s, b, j])],
+                    )
+                )
+            prefixes = [
+                prefixes[int(s_par[s, b, k])] + [int(s_tok[s, b, k])] for k in range(K)
+            ]
+        for k in range(K):  # finalize: add the K final beams
+            if f_ok[b, k] and np.isfinite(f_sco[b, k]) and f_sco[b, k] > -1e30:
+                hyps.append((float(f_sco[b, k]), [int(t) for t in f_tok[b, k]]))
+        results.append(hyps)
+    return results
+
+
+def fm_index_generate(
+    model_cfg: BartConfig,
+    params,
+    index: DeviceFMIndex,
+    input_ids,  # [B, L] np/jnp int or list of token lists
+    attention_mask=None,
+    min_length: int = 3,
+    max_length: int = 25,
+    length_penalty: float = 1.0,  # accepted for parity; cancels in history mode
+    num_beams: int = 3,
+    eos_token_id: Optional[int] = None,
+    force_decoding_from: Optional[Sequence[int]] = None,
+    always_allow_eos: bool = False,
+    keep_history: bool = True,
+    disable_fm_index: bool = False,
+    stop_at_count: int = 0,
+    forced_bos_token_id: Optional[int] = "default",
+    top_m: int = 256,
+    window: int = 128,
+    exact_mask: bool = False,
+) -> List[List[Tuple[float, List[int]]]]:
+    """Constrained generation; returns per-query [(score, token_list), ...].
+
+    Signature parity with reference ``beam_search.py:392-413`` (sample /
+    diverse-beam-group modes are handled by the searcher-level fallbacks).
+    """
+    del length_penalty, keep_history  # history extraction makes both no-ops
+    if isinstance(input_ids, (list, tuple)):
+        input_ids, attention_mask = pad_batch(input_ids, model_cfg.pad_token_id)
+    if attention_mask is None:
+        attention_mask = (np.asarray(input_ids) != model_cfg.pad_token_id).astype(np.int32)
+    if forced_bos_token_id == "default":
+        forced_bos_token_id = model_cfg.forced_bos_token_id
+
+    dcfg = DecodeConfig(
+        num_beams=num_beams,
+        max_length=max_length,
+        min_length=min_length,
+        eos_token_id=int(eos_token_id if eos_token_id is not None else model_cfg.eos_token_id),
+        pad_token_id=model_cfg.pad_token_id,
+        decoder_start_token_id=model_cfg.decoder_start_token_id,
+        forced_bos_token_id=forced_bos_token_id,
+        force_decoding_from=tuple(force_decoding_from) if force_decoding_from else None,
+        stop_at_count=stop_at_count,
+        always_allow_eos=always_allow_eos,
+        disable_fm_index=disable_fm_index,
+        top_m=min(top_m, model_cfg.vocab_size),
+        window=window,
+        exact_mask=exact_mask,
+    )
+    run = _jitted_search(model_cfg, dcfg)
+    out = run(params, index, jnp.asarray(input_ids), jnp.asarray(attention_mask))
+    out = jax.tree_util.tree_map(np.asarray, out)
+    return extract_hypotheses(out, dcfg)

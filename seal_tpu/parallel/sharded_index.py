@@ -1,0 +1,276 @@
+"""Corpus-sharded FM-index over a device mesh.
+
+The TPU-native answer to corpus scale (SURVEY.md section 2, "TPU-native
+equivalents"): documents are partitioned into per-shard sub-corpora, each
+with its own text/SA/Psi/C arrays.  A backward-search step runs on every
+shard in parallel (``shard_map`` over the ``data`` axis); global counts are
+``psum``s of per-shard counts, candidate validation merges with a logical
+OR, and document scores merge by global top-k.  No inter-shard state is
+needed because an FM-index over a sub-corpus is a complete FM-index.
+
+Shard assignment is round-robin by document so shard sizes stay balanced.
+Each shard's arrays are zero-padded to the max shard size (static shapes);
+the sentinel-terminated layout makes padding harmless (padded rows hold an
+empty second sentinel corpus).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from seal_tpu.index.fm_index import FMIndex, SHIFT
+from seal_tpu.index.device_index import DeviceFMIndex
+from seal_tpu.ops import fm_ops
+
+
+@struct.dataclass
+class ShardedFMIndex:
+    """Stacked per-shard index arrays; leading axis = shard.
+
+    All arrays carry a leading ``n_shards`` dim and are placed with
+    ``PartitionSpec('data', ...)`` so each device holds exactly its shard.
+    """
+
+    text: Any  # int32 [S, N_max]
+    sa: Any  # int32 [S, N_max]
+    psi: Any  # int32 [S, N_max]
+    C: Any  # int32 [S, sigma_max+1]
+    n_rows: Any  # int32 [S]  true rows per shard
+    doc_offset: Any  # int32 [S]  global doc-index base per shard
+    beginnings: Any  # int32 [S, D_max+1]
+    n_docs_shard: Any  # int32 [S]
+    corpus_counts: Any  # int32 [vocab]  global step-1 counts (replicated)
+
+    n_shards: int = struct.field(pytree_node=False)
+    vocab: int = struct.field(pytree_node=False)
+    search_iters: int = struct.field(pytree_node=False)
+    n_docs: int = struct.field(pytree_node=False)
+
+    @classmethod
+    def build(
+        cls,
+        docs: Sequence[Sequence[int]],
+        n_shards: int,
+        vocab: int,
+        labels: Sequence[str] | None = None,
+    ) -> Tuple["ShardedFMIndex", List[FMIndex], List[List[int]]]:
+        """Build per-shard host indexes (round-robin docs) and stack them.
+
+        Returns (sharded_index, per-shard host FMIndex list, per-shard
+        global-doc-id lists).
+        """
+        assignments: List[List[int]] = [[] for _ in range(n_shards)]
+        for i in range(len(docs)):
+            assignments[i % n_shards].append(i)
+
+        hosts: List[FMIndex] = []
+        for s in range(n_shards):
+            idx = FMIndex()
+            idx.initialize(
+                [docs[i] for i in assignments[s]],
+                labels=[labels[i] for i in assignments[s]] if labels else None,
+            )
+            hosts.append(idx)
+
+        import math
+
+        n_max = max(h.size() for h in hosts)
+        sig_max = max(h.C.size for h in hosts)
+        d_max = max(h.n_docs for h in hosts)
+
+        def pad1(a, n, fill=0):
+            out = np.full(n, fill, a.dtype if hasattr(a, "dtype") else np.int32)
+            out[: len(a)] = a
+            return out
+
+        text = np.stack([pad1(h.text, n_max) for h in hosts])
+        sa = np.stack([pad1(h.sa.astype(np.int32), n_max) for h in hosts])
+        psi = np.stack([pad1(h.psi.astype(np.int32), n_max) for h in hosts])
+        # pad C by repeating the final cumulative count so lookups for
+        # symbols >= shard sigma yield empty ranges
+        C = np.stack(
+            [pad1(h.C.astype(np.int32), sig_max, fill=0) for h in hosts]
+        )
+        for s, h in enumerate(hosts):
+            C[s, h.C.size :] = h.C[-1]
+        beg = np.stack(
+            [pad1(np.asarray(h.beginnings, np.int32), d_max + 1, fill=2**30) for h in hosts]
+        )
+
+        counts = np.zeros(vocab, np.int64)
+        for h in hosts:
+            occ = np.asarray(h.occurring_distinct)
+            keep = occ < vocab
+            counts[occ[keep]] += np.asarray(h.occurring_counts, dtype=np.int64)[keep]
+
+        doc_offset = np.zeros(n_shards, np.int32)  # global ids via assignment
+        sharded = cls(
+            text=jnp.asarray(text),
+            sa=jnp.asarray(sa),
+            psi=jnp.asarray(psi),
+            C=jnp.asarray(C),
+            n_rows=jnp.asarray([h.size() for h in hosts], jnp.int32),
+            doc_offset=jnp.asarray(doc_offset),
+            beginnings=jnp.asarray(beg),
+            n_docs_shard=jnp.asarray([h.n_docs for h in hosts], jnp.int32),
+            corpus_counts=jnp.asarray(np.minimum(counts, 2**31 - 1), jnp.int32),
+            n_shards=n_shards,
+            vocab=vocab,
+            search_iters=max(1, math.ceil(math.log2(n_max + 1))),
+            n_docs=len(docs),
+        )
+        return sharded, hosts, assignments
+
+    def shard_view(self, s: int) -> DeviceFMIndex:
+        """A single shard as a DeviceFMIndex (host-side convenience)."""
+        return DeviceFMIndex(
+            text=self.text[s],
+            sa=self.sa[s],
+            psi=self.psi[s],
+            C=self.C[s],
+            beginnings=self.beginnings[s],
+            corpus_counts=self.corpus_counts,
+            n_rows=int(self.n_rows[s]),
+            sigma=self.C.shape[1] - 1,
+            vocab=self.vocab,
+            n_docs=int(self.n_docs_shard[s]),
+            search_iters=self.search_iters,
+        )
+
+    def place(self, mesh: Mesh) -> "ShardedFMIndex":
+        """Place shard-major arrays along the mesh's ``data`` axis."""
+        sharded = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+
+        def put(name, a):
+            if name == "corpus_counts":
+                return jax.device_put(a, repl)
+            return jax.device_put(a, sharded)
+
+        return self.replace(
+            text=put("text", self.text),
+            sa=put("sa", self.sa),
+            psi=put("psi", self.psi),
+            C=put("C", self.C),
+            n_rows=put("n_rows", self.n_rows),
+            doc_offset=put("doc_offset", self.doc_offset),
+            beginnings=put("beginnings", self.beginnings),
+            n_docs_shard=put("n_docs_shard", self.n_docs_shard),
+            corpus_counts=put("corpus_counts", self.corpus_counts),
+        )
+
+
+def _shard_device_index(si: ShardedFMIndex, s_text, s_sa, s_psi, s_C, s_beg, n_rows):
+    """A DeviceFMIndex view of one shard inside shard_map (arrays are the
+    per-device blocks; n_rows is the shard's true row count as a traced
+    scalar folded into the query ops via masking)."""
+    return DeviceFMIndex(
+        text=s_text,
+        sa=s_sa,
+        psi=s_psi,
+        C=s_C,
+        beginnings=s_beg,
+        corpus_counts=si.corpus_counts,
+        n_rows=si.text.shape[1],  # static padded size; C caps real ranges
+        sigma=si.C.shape[1] - 1,
+        vocab=si.vocab,
+        n_docs=si.beginnings.shape[1] - 1,
+        search_iters=si.search_iters,
+    )
+
+
+def sharded_count_sequences(si: ShardedFMIndex, mesh: Mesh, tokens, lengths):
+    """Global corpus counts of padded sequences: per-shard counts + psum.
+
+    tokens: [B, L] replicated; returns [B] int32 global counts.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    def per_shard(s_text, s_sa, s_psi, s_C, s_beg, s_nrows, toks, lens):
+        # drop the leading singleton shard dim of each block
+        dev = _shard_device_index(
+            si, s_text[0], s_sa[0], s_psi[0], s_C[0], s_beg[0], s_nrows[0]
+        )
+        # the padded rows beyond the shard's true size never enter ranges:
+        # initial range must be [0, true_n_rows)
+        # initial lo is built from replicated operands: mark it varying over
+        # the shard axis so the scan carry type matches the in-loop values
+        lo = jax.lax.pcast(jnp.zeros(toks.shape[:-1], jnp.int32), ("data",), to="varying")
+        hi = jnp.broadcast_to(s_nrows[0], toks.shape[:-1]).astype(jnp.int32)
+
+        def body(carry, tok_t):
+            lo, hi, t = carry
+            nlo, nhi = fm_ops.backward_step(dev, tok_t, lo, hi)
+            keep = t < lens
+            return (jnp.where(keep, nlo, lo), jnp.where(keep, nhi, hi), t + 1), None
+
+        (lo, hi, _), _ = jax.lax.scan(
+            body, (lo, hi, jnp.int32(0)), jnp.moveaxis(toks, -1, 0)
+        )
+        return jax.lax.psum(hi - lo, "data")
+
+    fn = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(
+            P("data"), P("data"), P("data"), P("data"), P("data"), P("data"),
+            P(), P(),
+        ),
+        out_specs=P(),
+    )
+    return fn(
+        si.text, si.sa, si.psi, si.C, si.beginnings, si.n_rows,
+        jnp.asarray(tokens, jnp.int32), jnp.asarray(lengths, jnp.int32),
+    )
+
+
+def sharded_allowed_mask(si: ShardedFMIndex, mesh: Mesh, tokens, lengths, cand_tokens):
+    """Validate candidate continuations against the global (sharded) corpus.
+
+    tokens: [B, L] prefix batch; cand_tokens: [B, M].  Returns [B, M] global
+    counts of prefix+candidate (0 = not allowed anywhere).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    def per_shard(s_text, s_sa, s_psi, s_C, s_beg, s_nrows, toks, lens, cands):
+        dev = _shard_device_index(
+            si, s_text[0], s_sa[0], s_psi[0], s_C[0], s_beg[0], s_nrows[0]
+        )
+        # initial lo is built from replicated operands: mark it varying over
+        # the shard axis so the scan carry type matches the in-loop values
+        lo = jax.lax.pcast(jnp.zeros(toks.shape[:-1], jnp.int32), ("data",), to="varying")
+        hi = jnp.broadcast_to(s_nrows[0], toks.shape[:-1]).astype(jnp.int32)
+
+        def body(carry, tok_t):
+            lo, hi, t = carry
+            nlo, nhi = fm_ops.backward_step(dev, tok_t, lo, hi)
+            keep = t < lens
+            return (jnp.where(keep, nlo, lo), jnp.where(keep, nhi, hi), t + 1), None
+
+        (lo, hi, _), _ = jax.lax.scan(
+            body, (lo, hi, jnp.int32(0)), jnp.moveaxis(toks, -1, 0)
+        )
+        counts = fm_ops.validate_tokens(dev, cands, lo, hi)
+        return jax.lax.psum(counts, "data")
+
+    fn = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(
+            P("data"), P("data"), P("data"), P("data"), P("data"), P("data"),
+            P(), P(), P(),
+        ),
+        out_specs=P(),
+    )
+    return fn(
+        si.text, si.sa, si.psi, si.C, si.beginnings, si.n_rows,
+        jnp.asarray(tokens, jnp.int32),
+        jnp.asarray(lengths, jnp.int32),
+        jnp.asarray(cand_tokens, jnp.int32),
+    )

@@ -1,0 +1,567 @@
+"""SEALSearcher: the retrieval orchestrator.
+
+Parity with the reference facade (``/root/reference/seal/retrieval.py:399``):
+the same 45 ``DEFAULTS`` knobs (names preserved so the auto-generated CLI is
+flag-compatible), the same key-generation pipeline (body / title / code
+decodes with conditioning markers, query decomposition, rescoring,
+deduplication, unigram scores -- ``retrieval.py:49-312``) and the same
+two-stage evidence aggregation.
+
+TPU-native differences: generation is the fused scan in
+``seal_tpu.decoding``; the model is our JAX BART; decoding/rescoring batch
+over queries on device, while evidence aggregation runs on host against the
+dense index arrays (no multiprocessing smuggling -- the index is shared
+read-only NumPy).
+"""
+
+from __future__ import annotations
+
+import logging
+from itertools import islice
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from seal_tpu.decoding.generate import fm_index_generate, pad_batch
+from seal_tpu.index.device_index import DeviceFMIndex
+from seal_tpu.index.fm_index import FMIndex
+from seal_tpu.models import bart, convert
+from seal_tpu.models.config import BartConfig, bart_large
+from seal_tpu.models.tokenizer import load_tokenizer
+from seal_tpu.retrieval.document import SEALDocument
+from seal_tpu.scoring import keys as rk
+
+logger = logging.getLogger(__name__)
+
+
+class SEALSearcher:
+    # Parity: reference retrieval.py:401-446 (same names, same defaults).
+    DEFAULTS = {
+        "backbone": "facebook/bart-large",
+        "fairseq_checkpoint": True,
+        "length": 10,
+        "min_length": 0,
+        "length_penalty": 0.0,
+        "scoring_length_penalty": 0.0,
+        "repetition_penalty": 0.8,
+        "score_exponent": 2.0,
+        "beam": 15,
+        "max_hits": 1500,
+        "fully_score": 1500,
+        "skip_frequent_keys": 10_000_000,
+        "add_query_to_keys": True,
+        "batch_size": 20,
+        "jobs": 1,
+        "progress": False,
+        "free_generation": False,
+        "use_fm_index_frequency": True,
+        "unigram_scores": True,
+        "add_best_unigrams_to_ngrams": True,
+        "use_top_k_ngrams": 5000,
+        "sort_by_length": False,
+        "sort_by_freq": False,
+        "print_n_doc": False,
+        "allow_overlaps": False,
+        "diverse_bs_groups": 1,
+        "diverse_bs_penalty": 0.0,
+        "rescore": True,
+        "detokenize": True,
+        "include_keys": False,
+        "single_key": 0.0,
+        "unigrams_ignore_free_places": False,
+        "use_markers": True,
+        "value_conditioning": True,
+        "decode_body": True,
+        "decode_titles": True,
+        "decode_code": False,
+        "partial_code": False,
+        "partial_titles": False,
+        "smoothing": 5.0,
+        "stop_at_count": 0,
+        "topk": 0,
+        "force_decoding_second_token": -1,
+        # --- TPU-build extensions (not in the reference) ------------------
+        "top_m": 256,  # speculative candidates per beam per step
+        "window": 128,  # enumerated BWT rows per beam per step
+        "exact_mask": False,  # dense O(vocab) constraint mask
+    }
+
+    def __init__(
+        self,
+        fm_index: FMIndex,
+        tokenizer,
+        model_cfg: BartConfig,
+        params,
+        scorer_params=None,
+        title_params=None,
+        code_params=None,
+        device_index: Optional[DeviceFMIndex] = None,
+        **kwargs,
+    ):
+        self.fm_index = fm_index
+        self.tokenizer = tokenizer
+        self.model_cfg = model_cfg
+        self.params = params
+        self.scorer_params = scorer_params if scorer_params is not None else params
+        self.title_params = title_params if title_params is not None else params
+        self.code_params = code_params if code_params is not None else params
+        self.device_index = (
+            device_index
+            if device_index is not None
+            else DeviceFMIndex.from_host(fm_index, vocab=model_cfg.vocab_size)
+        )
+        self.docid2idx = (
+            {k: i for i, k in enumerate(fm_index.labels)} if fm_index.labels else {}
+        )
+        self.num_docs = fm_index.n_docs
+        self.docids = fm_index.labels
+        self.set_params(kwargs)
+
+        backbone = self.backbone
+        if "bart" in backbone:
+            # reference retrieval.py:482-493
+            self.title_bos_token_id = 2
+            self.title_eos_token_id = 49314  # '@@'
+            self.code_bos_token_id = 49314
+            self.code_eos_token_id = 45056  # '||'
+            self.prepend_space = True
+            self.strip_token_ids = (0, 2)
+        elif "t5" in backbone:
+            # reference retrieval.py:494-504
+            self.title_bos_token_id = 1
+            self.title_eos_token_id = 32000
+            self.code_bos_token_id = 32000
+            self.code_eos_token_id = 32001
+            self.prepend_space = False
+            self.strip_token_ids = (0, 1)
+        else:
+            # generic backbone: derive the '@@' / '||' marker ids from the
+            # tokenizer so word-vocab/test backbones work out of the box
+            def _marker(text, fallback):
+                ids = tokenizer.encode_plain(text)
+                return ids[-1] if ids else fallback
+
+            self.title_bos_token_id = model_cfg.eos_token_id
+            self.title_eos_token_id = _marker(" @@", model_cfg.eos_token_id)
+            self.code_bos_token_id = self.title_eos_token_id
+            self.code_eos_token_id = _marker(" ||", model_cfg.eos_token_id)
+            self.prepend_space = True
+            self.strip_token_ids = (model_cfg.bos_token_id, model_cfg.eos_token_id)
+        for key in (
+            "title_bos_token_id", "title_eos_token_id",
+            "code_bos_token_id", "code_eos_token_id",
+        ):
+            if key in kwargs:
+                setattr(self, key, kwargs[key])
+
+    # ------------------------------------------------------------- params/CLI
+
+    def set_params(self, params: Dict):
+        for key, val in self.DEFAULTS.items():
+            setattr(self, key, params.get(key, val))
+        if self.diverse_bs_groups > 1:
+            raise NotImplementedError("diverse beam groups: not yet implemented")
+        if self.topk:
+            raise NotImplementedError("topk sampling warper: not yet implemented")
+
+    @classmethod
+    def add_args(cls, parser):
+        """Auto-generate CLI flags from DEFAULTS (reference retrieval.py:521-535)."""
+        parser.add_argument("--fm_index", required=True, type=str)
+        parser.add_argument("--checkpoint", required=False, type=str)
+        parser.add_argument("--checkpoint_scorer", required=False, type=str, default=None)
+        parser.add_argument("--checkpoint_title", required=False, type=str, default=None)
+        parser.add_argument("--checkpoint_code", required=False, type=str, default=None)
+        parser.add_argument("--tokenizer", required=False, type=str, default=None)
+        parser.add_argument("--device", default="auto", type=str)
+        for name, value in cls.DEFAULTS.items():
+            if value is True:
+                parser.add_argument(f"--dont_{name}", action="store_false", dest=name)
+            elif value is False:
+                parser.add_argument(f"--{name}", action="store_true")
+            else:
+                parser.add_argument(f"--{name}", required=False, type=type(value), default=value)
+
+    @classmethod
+    def from_args(cls, args):
+        params = {name: getattr(args, name) for name in cls.DEFAULTS}
+        return cls.load(
+            args.fm_index,
+            args.checkpoint,
+            scorer_checkpoint=args.checkpoint_scorer,
+            title_checkpoint=args.checkpoint_title,
+            code_checkpoint=args.checkpoint_code,
+            tokenizer_path=args.tokenizer,
+            **params,
+        )
+
+    # ---------------------------------------------------------------- loading
+
+    @staticmethod
+    def load_fm_index(path: str) -> FMIndex:
+        logger.warning("initializing FM-index from %s", path)
+        index = FMIndex.load(path)
+        logger.warning(
+            "FM-index initialized (%d docs, %d tokens)", index.n_docs, len(index)
+        )
+        return index
+
+    @classmethod
+    def load(
+        cls,
+        fm_index_path: str,
+        checkpoint: Optional[str] = None,
+        scorer_checkpoint: Optional[str] = None,
+        title_checkpoint: Optional[str] = None,
+        code_checkpoint: Optional[str] = None,
+        tokenizer_path: Optional[str] = None,
+        model_cfg: Optional[BartConfig] = None,
+        **params,
+    ) -> "SEALSearcher":
+        """Load index + model(s) + tokenizer.
+
+        ``checkpoint`` may be a fairseq ``.pt`` (default, reference parity), an
+        HF model dir, or ``None``/``"random"`` for randomly initialized weights
+        (benchmarks without network access).
+        """
+        import jax
+
+        fm_index = cls.load_fm_index(fm_index_path)
+        tokenizer = load_tokenizer(tokenizer_path or params.get("backbone", "facebook/bart-large"))
+        if model_cfg is None:
+            backbone = params.get("backbone", "facebook/bart-large")
+            if "tiny" in backbone:
+                from seal_tpu.models.config import bart_tiny
+
+                model_cfg = bart_tiny(vocab_size=tokenizer.vocab_size)
+            else:
+                model_cfg = bart_large()
+        if model_cfg.vocab_size < tokenizer.vocab_size:
+            import dataclasses
+
+            model_cfg = dataclasses.replace(model_cfg, vocab_size=tokenizer.vocab_size)
+
+        def load_params(path):
+            if path in (None, "random"):
+                p = bart.init_params(jax.random.PRNGKey(0), model_cfg)
+            elif path.endswith(".pt"):
+                if params.get("fairseq_checkpoint", True):
+                    p = convert.load_fairseq_checkpoint(path, model_cfg)
+                else:
+                    p = convert.load_hf_checkpoint(path, model_cfg)
+            else:
+                p = convert.load_hf_checkpoint(path, model_cfg)
+            return convert.apply_seal_logits_bias(p, model_cfg)
+
+        main = load_params(checkpoint)
+        return cls(
+            fm_index,
+            tokenizer,
+            model_cfg,
+            main,
+            scorer_params=load_params(scorer_checkpoint) if scorer_checkpoint else None,
+            title_params=load_params(title_checkpoint) if title_checkpoint else None,
+            code_params=load_params(code_checkpoint) if code_checkpoint else None,
+            **params,
+        )
+
+    # ---------------------------------------------------------- key generation
+
+    def _tokenize_batch(self, texts: Sequence[str]) -> List[List[int]]:
+        limit = self.model_cfg.max_position_embeddings
+        return [self.tokenizer.encode(t)[:limit] for t in texts]
+
+    def _marked(self, inputs: Sequence[str], marker: str) -> List[str]:
+        batch = list(inputs)
+        if self.use_markers:
+            batch = [i + f" || {marker}" for i in batch]
+        if self.value_conditioning:
+            batch = [i + " || +" for i in batch]
+        return batch
+
+    def _strip_body_keys(self, fk):
+        """Reference retrieval.py:85-91."""
+        s = self.strip_token_ids
+        fk = [(sc, k[1:] if k[0] in s else k) for sc, k in fk if k]
+        fk = [(sc, k[1:] if k[0] in s else k) for sc, k in fk if k]
+        fk = [(sc, k[:-1] if k[-1] in s else k) for sc, k in fk if k]
+        if self.min_length > 0:
+            fk = [(sc, k) for sc, k in fk if len(k) == self.min_length]
+        return [(sc, k) for sc, k in fk if k and self.fm_index.get_count(k) > 0]
+
+    def process_batch(self, inputs: Sequence[str], constrained_generation: bool = True):
+        """Key generation for one query batch (reference retrieval.py:54-305)."""
+        inputs = [
+            (" " + q.strip()) if self.prepend_space else q.strip() for q in inputs
+        ]
+        gen_common = dict(
+            num_beams=self.beam,
+            disable_fm_index=not constrained_generation,
+            forced_bos_token_id=None,
+            top_m=self.top_m,
+            window=self.window,
+            exact_mask=self.exact_mask,
+        )
+        rescore_strip = dict(
+            strip_from_bos=[
+                self.title_bos_token_id,
+                self.code_bos_token_id,
+                self.model_cfg.decoder_start_token_id,
+            ],
+            strip_from_eos=[
+                self.title_eos_token_id,
+                self.code_eos_token_id,
+                self.model_cfg.eos_token_id,
+            ],
+        )
+
+        found_keys: List[List] = [[] for _ in inputs]
+
+        if self.decode_body:
+            batch_str = self._marked(inputs, "body")
+            toks = self._tokenize_batch(batch_str)
+            raw = fm_index_generate(
+                self.model_cfg,
+                self.params,
+                self.device_index,
+                toks,
+                min_length=self.length,
+                max_length=self.length,
+                stop_at_count=self.stop_at_count,
+                **gen_common,
+            )
+            found_keys = [self._strip_body_keys(fk) for fk in raw]
+            if self.rescore and self.use_markers:
+                plain = self._tokenize_batch(inputs)
+                found_keys = rk.rescore_keys(
+                    self.model_cfg, self.params, plain, found_keys, **rescore_strip
+                )
+
+        if self.add_query_to_keys:
+            decomposed = []
+            for inp in inputs:
+                new_fk = [
+                    self.tokenizer.encode_plain(s)
+                    for s in rk.decompose_query_into_keys(inp, 3)
+                ]
+                s = self.strip_token_ids
+                new_fk = [k[:-1] if k and k[-1] in s else k for k in new_fk if k]
+                new_fk = [k[1:] if k and k[0] in s else k for k in new_fk if k]
+                new_fk = [k[1:] if k and k[0] in s else k for k in new_fk if k]
+                if self.min_length > 0:
+                    new_fk = [k for k in new_fk if len(k) == self.min_length]
+                new_fk = [k for k in new_fk if k and self.fm_index.get_count(k) > 0]
+                decomposed.append(new_fk)
+            marked = self._tokenize_batch(self._marked(inputs, "body"))
+            scored = rk.rescore_keys(self.model_cfg, self.params, marked, decomposed)
+            for fk, nfk in zip(found_keys, scored):
+                fk += nfk
+
+        if self.decode_titles:
+            batch_str = self._marked(inputs, "title")
+            toks = self._tokenize_batch(batch_str)
+            raw = fm_index_generate(
+                self.model_cfg,
+                self.title_params,
+                self.device_index,
+                toks,
+                min_length=1,
+                max_length=15,
+                eos_token_id=self.title_eos_token_id,
+                force_decoding_from=[self.title_bos_token_id],
+                **gen_common,
+            )
+            new_keys = []
+            for fk in raw:
+                s = self.strip_token_ids
+                if self.force_decoding_second_token >= 0:
+                    fk = [(sc, k[:1] + k[2:]) for sc, k in fk if len(k) >= 3]
+                fk = [(sc, k[:-1] if k and k[-1] in s else k) for sc, k in fk]
+                if not self.partial_titles:
+                    fk = [(sc, k) for sc, k in fk if k and k[-1] == self.title_eos_token_id]
+                    if self.min_length > 0:
+                        fk = [(sc, k) for sc, k in fk if len(k) == self.min_length + 1]
+                fk = [
+                    (sc, [self.title_bos_token_id] + k if k[0] != self.title_bos_token_id else k)
+                    for sc, k in fk if k
+                ]
+                fk = [(sc, k) for sc, k in fk if k and self.fm_index.get_count(k) > 0]
+                new_keys.append(fk)
+            if self.rescore and self.use_markers:
+                new_keys = rk.rescore_keys(
+                    self.model_cfg,
+                    self.title_params,
+                    self._tokenize_batch(batch_str),
+                    new_keys,
+                    strip_from_bos=rescore_strip["strip_from_bos"],
+                    strip_from_eos=[self.model_cfg.eos_token_id],
+                )
+            for fk, nfk in zip(found_keys, new_keys):
+                fk += nfk
+
+        if self.decode_code:
+            batch_str = self._marked(inputs, "code")
+            toks = self._tokenize_batch(batch_str)
+            raw = fm_index_generate(
+                self.model_cfg,
+                self.code_params,
+                self.device_index,
+                toks,
+                min_length=1,
+                max_length=15,
+                eos_token_id=self.code_eos_token_id,
+                force_decoding_from=[self.code_bos_token_id],
+                **gen_common,
+            )
+            new_keys = []
+            for fk in raw:
+                s = self.strip_token_ids
+                if self.force_decoding_second_token >= 0:
+                    fk = [(sc, k[:1] + k[2:]) for sc, k in fk if len(k) >= 2]
+                fk = [(sc, k[1:-1] if k[-1] in s else k[1:]) for sc, k in fk if k]
+                if not self.partial_code:
+                    fk = [(sc, k) for sc, k in fk if k and k[-1] == self.code_eos_token_id]
+                fk = [
+                    (sc, [self.code_bos_token_id] + k if k[0] != self.code_bos_token_id else k)
+                    for sc, k in fk if k
+                ]
+                fk = [(sc, k) for sc, k in fk if k and self.fm_index.get_count(k) > 0]
+                new_keys.append(fk)
+            if self.rescore and self.use_markers:
+                new_keys = rk.rescore_keys(
+                    self.model_cfg,
+                    self.code_params,
+                    self._tokenize_batch(batch_str),
+                    new_keys,
+                    strip_from_bos=rescore_strip["strip_from_bos"],
+                    strip_from_eos=[self.model_cfg.eos_token_id],
+                )
+            for fk, nfk in zip(found_keys, new_keys):
+                fk += nfk
+
+        if self.rescore and not self.use_markers:
+            found_keys = rk.rescore_keys(
+                self.model_cfg,
+                self.scorer_params,
+                self._tokenize_batch(inputs),
+                found_keys,
+                **rescore_strip,
+            )
+
+        found_keys = [rk.deduplicate(fk) for fk in found_keys]
+        found_keys = [[(n, s) for s, n in fk] for fk in found_keys]
+
+        if self.unigram_scores:
+            marked = self._tokenize_batch(self._marked(inputs, "body"))
+            prefix = (
+                [self.force_decoding_second_token]
+                if self.force_decoding_second_token >= 0
+                else []
+            )
+            us = rk.compute_unigram_scores(
+                self.model_cfg, self.scorer_params, marked, prefix=prefix
+            )
+            return list(zip(found_keys, us))
+        return found_keys
+
+    def batch_generate_keys(self, queries: Sequence[str]):
+        for off in range(0, len(queries), self.batch_size):
+            yield from self.process_batch(
+                queries[off : off + self.batch_size],
+                constrained_generation=not self.free_generation,
+            )
+
+    def generate_keys(self, query: str):
+        return next(iter(self.batch_generate_keys([query])))
+
+    # ------------------------------------------------------------- retrieval
+
+    def retrieve_from_keys(self, keys):
+        unigram_scores = None
+        if isinstance(keys, tuple) and len(keys) == 2:
+            keys, unigram_scores = keys
+        results, ngrams = rk.aggregate_evidence(
+            ngrams_and_scores=keys,
+            unigram_scores=unigram_scores,
+            index=self.fm_index,
+            max_occurrences_1=self.max_hits,
+            n_docs_complete_score=self.fully_score,
+            alpha=self.score_exponent,
+            beta=self.repetition_penalty,
+            length_penalty=self.scoring_length_penalty,
+            use_fm_index_frequency=self.use_fm_index_frequency,
+            add_best_unigrams_to_ngrams=self.add_best_unigrams_to_ngrams,
+            use_top_k_unigrams=self.use_top_k_ngrams,
+            sort_by_length=self.sort_by_length,
+            sort_by_freq=self.sort_by_freq,
+            smoothing=self.smoothing,
+            allow_overlaps=self.allow_overlaps,
+            single_key=self.single_key,
+            unigrams_ignore_free_places=self.unigrams_ignore_free_places,
+        )
+        return results, ngrams
+
+    def batch_retrieve_from_keys(self, keys):
+        for kk in keys:
+            yield self.retrieve_from_keys(kk)
+
+    # ----------------------------------------------------------------- search
+
+    def search(self, query: str, k: int = 10) -> List[SEALDocument]:
+        return self.batch_search([query], k=k)[0]
+
+    def batch_search(self, queries: Sequence[str], k: int = 10, detokenize=None):
+        if detokenize is None:
+            detokenize = self.detokenize
+        keys_it = self.batch_generate_keys(list(queries))
+        results, keysets = zip(*self.batch_retrieve_from_keys(keys_it))
+
+        key_texts: Dict[tuple, Tuple[str, int]] = {}
+        for kk in keysets:
+            for key in kk:
+                if key not in key_texts:
+                    key_texts[key] = (
+                        self.tokenizer.decode(list(key)),
+                        self.fm_index.get_count(list(key)),
+                    )
+
+        retrieved = []
+        for query, res in zip(queries, results):
+            docs = []
+            for idx, (score, kk, _, full, _) in islice(res.items(), k):
+                doc = SEALDocument(
+                    idx,
+                    score,
+                    self.fm_index,
+                    self.tokenizer,
+                    delim1=self.title_eos_token_id,
+                    delim2=self.code_eos_token_id,
+                    query=query,
+                )
+                if self.include_keys:
+                    for key, _s in kk:
+                        if key not in key_texts:
+                            key_texts[key] = (
+                                self.tokenizer.decode(list(key)),
+                                self.fm_index.get_count(list(key)),
+                            )
+                    doc.keys = [(*key_texts[key], s) for key, s in kk]
+                doc._raw_tokens = full
+                docs.append(doc)
+            retrieved.append(docs)
+        if detokenize:
+            for docs in retrieved:
+                for d in docs:
+                    d.text()
+        return retrieved
+
+    def doc(self, docid) -> Optional[SEALDocument]:
+        idx = self.docid2idx[docid] if isinstance(docid, str) else docid
+        return SEALDocument(
+            idx,
+            None,
+            self.fm_index,
+            self.tokenizer,
+            delim1=self.title_eos_token_id,
+            delim2=self.code_eos_token_id,
+        )
