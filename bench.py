@@ -56,8 +56,8 @@ def main():
     params = bart.init_params(jax.random.PRNGKey(0), cfg)
     params = convert.apply_seal_logits_bias(params, cfg)
 
-    # ---- queries: batch 8, beam 15, length 10 ----------------------------
-    batch, beam, length = 8, 15, 10
+    # ---- queries: batch 32, beam 15, length 10 ---------------------------
+    batch, beam, length = 32, 15, 10
     queries = [
         [0] + rng.integers(4, vocab, size=12).tolist() + [2] for _ in range(batch)
     ]

@@ -136,7 +136,10 @@ def _candidates_general(
         return _apply_branches(cfg, tokens, fm_valid, cand_lp, prev_count, finished)
 
     # --- speculative top-M ------------------------------------------------
-    top_lp, top_tok = lax.top_k(lp, cfg.top_m)  # [B,K,M]
+    # approx_max_k rides the TPU's hardware top-k path (~2-3x faster than
+    # exact top_k at V=50k); a missed candidate only shrinks the speculative
+    # proposal set, never produces an invalid key (everything is validated)
+    top_lp, top_tok = lax.approx_max_k(lp, cfg.top_m, recall_target=0.95)
     if cfg.disable_fm_index:
         tokens = top_tok.astype(jnp.int32)
         fm_valid = jnp.ones(tokens.shape, bool)

@@ -148,5 +148,5 @@ def fm_index_generate(
     )
     run = _jitted_search(model_cfg, dcfg)
     out = run(params, index, jnp.asarray(input_ids), jnp.asarray(attention_mask))
-    out = jax.tree_util.tree_map(np.asarray, out)
+    out = jax.device_get(out)  # single host transfer for the whole pytree
     return extract_hypotheses(out, dcfg)
