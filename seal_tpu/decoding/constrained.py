@@ -70,6 +70,16 @@ class DecodeConfig:
     window: int = 128  # BWT rows enumerated per beam per step
     exact_mask: bool = False  # dense O(vocab) mask (parity mode)
     dense_chunk: int = 2048
+    sample: bool = False  # num_beams independent constrained samplers
+    topk: int = 0  # TopKLogitsWarper on the raw logits (0 = off)
+    num_groups: int = 1  # diverse beam groups
+    diversity_penalty: float = 0.0  # Hamming diversity between groups
+
+    def __post_init__(self):
+        if self.num_groups > 1 and self.num_beams % self.num_groups:
+            raise ValueError("num_beams must be divisible by num_groups")
+        if self.sample and self.num_groups > 1:
+            raise ValueError("sample and diverse groups are mutually exclusive")
 
     @property
     def num_steps(self) -> int:
@@ -77,6 +87,10 @@ class DecodeConfig:
         if self.forced_bos_token_id is not None:
             n -= 1
         return max(n, 0)
+
+    @property
+    def group_size(self) -> int:
+        return self.num_beams // self.num_groups
 
 
 @struct.dataclass
@@ -100,6 +114,14 @@ class BeamSearchOutput:
 
 def _log_softmax(logits):
     return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+
+def _apply_topk_warper(logits, cfg: DecodeConfig):
+    """HF TopKLogitsWarper on the raw logits (reference beam_search.py:249-250)."""
+    if cfg.topk <= 0:
+        return logits
+    kth = lax.top_k(logits, cfg.topk)[0][..., -1:]
+    return jnp.where(logits < kth, NEG_INF, logits)
 
 
 def _apply_min_length(lp, cur_len, cfg: DecodeConfig):
@@ -239,6 +261,87 @@ def _select(cfg: DecodeConfig, cons_scores, uncons_scores, tokens, K):
     )
 
 
+def _select_sample(cfg: DecodeConfig, cons_noprev, uncons_cum, tokens, eos_lp, key):
+    """Constrained sampling: each beam is an independent sampler chain
+    (reference ``beam_search.py:290-300`` with inputs replicated num_beams
+    times at beam size 1, ``:420-424``).
+
+    cons_noprev: [B,K,N] constrained logprobs WITHOUT beam accumulation (the
+    sampling distribution); uncons_cum: [B,K,N] unconstrained + beam scores
+    (what accumulates); eos_lp: [B,K] cumulative uncons score of EOS (the
+    nan->EOS fallback when a beam has no valid continuation).
+    """
+    B, K, N = cons_noprev.shape
+    finite = cons_noprev > NEG_INF / 4
+    gumbel = jax.random.gumbel(key, cons_noprev.shape, jnp.float32)
+    scored = jnp.where(finite, cons_noprev + gumbel, NEG_INF)
+    idx = jnp.argmax(scored, axis=-1)  # [B, K]
+    all_dead = ~jnp.any(finite, axis=-1)
+
+    sel_tok = jnp.take_along_axis(tokens, idx[..., None], -1)[..., 0]
+    sel_tok = jnp.where(all_dead, cfg.eos_token_id, sel_tok).astype(jnp.int32)
+    sel_sco = jnp.take_along_axis(uncons_cum, idx[..., None], -1)[..., 0]
+    sel_sco = jnp.where(all_dead, eos_lp, sel_sco)
+    sel_parent = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), (B, K))
+    sel_fin = jnp.ones((B, K), bool)
+
+    # history layout: 2K slots, first K hold the samples
+    pad_tok = jnp.full((B, K), cfg.pad_token_id, jnp.int32)
+    c_tok = jnp.concatenate([sel_tok, pad_tok], -1)
+    c_par = jnp.concatenate([sel_parent, sel_parent], -1)
+    c_sco = jnp.concatenate([sel_sco, jnp.full((B, K), NEG_INF)], -1)
+    c_fin = jnp.concatenate([sel_fin, jnp.zeros((B, K), bool)], -1)
+    return c_tok, c_par, c_sco, c_fin, sel_tok, sel_parent, sel_sco, sel_fin
+
+
+def _select_diverse(cfg: DecodeConfig, cons_cum, tokens, K):
+    """Group beam search with Hamming diversity (reference routes through HF
+    ``group_beam_search`` with the FM processor appended,
+    ``beam_search.py:447-454,523-532``).  No dual scoring in this mode: the
+    penalized constrained score both selects and accumulates."""
+    G, gs = cfg.num_groups, cfg.group_size
+    B = cons_cum.shape[0]
+    ncand = cons_cum.shape[-1]
+    chosen = []
+    cs_tok, cs_par, cs_sco, cs_fin = [], [], [], []
+    sel_toks, sel_pars, sel_scos, sel_fins = [], [], [], []
+    for g in range(G):
+        sl = slice(g * gs, (g + 1) * gs)
+        sc = cons_cum[:, sl]
+        tk = tokens[:, sl]
+        if g > 0 and cfg.diversity_penalty > 0.0:
+            prev = jnp.concatenate(chosen, -1)  # [B, g*gs]
+            freq = (tk[..., None] == prev[:, None, None, :]).sum(-1)
+            sc = sc - cfg.diversity_penalty * freq.astype(sc.dtype)
+
+        flat = sc.reshape(B, gs * ncand)
+        flat_tok = tk.reshape(B, gs * ncand)
+        top_sc, top_idx = lax.top_k(flat, 2 * gs)
+        top_tok = jnp.take_along_axis(flat_tok, top_idx, -1)
+        top_par = (top_idx // ncand).astype(jnp.int32) + g * gs
+        finite = top_sc > NEG_INF / 4
+
+        non_eos = top_tok != cfg.eos_token_id
+        order = jnp.argsort(~non_eos, axis=-1, stable=True)
+        cont = order[:, :gs]
+        sel_tok = jnp.take_along_axis(top_tok, cont, -1)
+        sel_par = jnp.take_along_axis(top_par, cont, -1)
+        sel_sco = jnp.take_along_axis(top_sc, cont, -1)
+        sel_fin = jnp.take_along_axis(finite, cont, -1)
+
+        chosen.append(sel_tok)
+        cs_tok.append(top_tok); cs_par.append(top_par)
+        cs_sco.append(top_sc); cs_fin.append(finite)
+        sel_toks.append(sel_tok); sel_pars.append(sel_par)
+        sel_scos.append(sel_sco); sel_fins.append(sel_fin)
+
+    cat = lambda xs: jnp.concatenate(xs, -1)
+    return (
+        cat(cs_tok), cat(cs_par), cat(cs_sco), cat(cs_fin),
+        cat(sel_toks), cat(sel_pars), cat(sel_scos), cat(sel_fins),
+    )
+
+
 def constrained_beam_search(
     model_cfg: BartConfig,
     params,
@@ -246,6 +349,7 @@ def constrained_beam_search(
     cfg: DecodeConfig,
     enc_out,  # [B, Lsrc, D]  encoder output (NOT beam-tiled)
     enc_mask,  # [B, Lsrc]
+    rng_key=None,  # PRNG key (sampling mode only)
 ) -> BeamSearchOutput:
     """Run the fused constrained beam search for a batch of queries."""
     B = enc_out.shape[0]
@@ -253,6 +357,8 @@ def constrained_beam_search(
     L = cfg.max_length
     S = cfg.num_steps
     V = model_cfg.vocab_size
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
 
     # ---- beam-tiled encoder state ---------------------------------------
     enc_tiled = jnp.repeat(enc_out, K, axis=0)  # [B*K, Lsrc, D]
@@ -263,7 +369,16 @@ def constrained_beam_search(
 
     tokens = jnp.full((B * K, L), cfg.pad_token_id, jnp.int32)
     tokens = tokens.at[:, 0].set(cfg.decoder_start_token_id)
-    beam_scores = jnp.full((B, K), NEG_INF, jnp.float32).at[:, 0].set(0.0)
+    if cfg.sample:
+        # independent sampler chains: every beam starts live at score 0
+        beam_scores = jnp.zeros((B, K), jnp.float32)
+    elif cfg.num_groups > 1:
+        # one live beam per group (HF group_beam_search init)
+        beam_scores = jnp.full((B, K), NEG_INF, jnp.float32)
+        starts = jnp.arange(K) % cfg.group_size == 0
+        beam_scores = jnp.where(starts[None, :], 0.0, beam_scores)
+    else:
+        beam_scores = jnp.full((B, K), NEG_INF, jnp.float32).at[:, 0].set(0.0)
 
     # ---- constraint state ------------------------------------------------
     if cfg.force_decoding_from:
@@ -288,11 +403,37 @@ def constrained_beam_search(
         tokens = tokens.at[:, 1].set(bos)
         pos0 = jnp.int32(1)
 
+    def dispatch_select(cons_noprev, uncons_noprev, tokens_c, beam_scores, key):
+        """Mode-dispatched candidate selection; shared by step 0 and the scan."""
+        if cfg.sample:
+            # uncons score of the EOS candidate slot (nan->EOS fallback);
+            # argmax finds the slot, falling back to slot 0 if absent
+            eos_slot = jnp.argmax(tokens_c == cfg.eos_token_id, axis=-1)
+            eos_lp = jnp.take_along_axis(uncons_noprev, eos_slot[..., None], -1)[..., 0]
+            return _select_sample(
+                cfg,
+                cons_noprev,
+                uncons_noprev + beam_scores[..., None],
+                tokens_c,
+                eos_lp + beam_scores,
+                key,
+            )
+        if cfg.num_groups > 1:
+            return _select_diverse(cfg, cons_noprev + beam_scores[..., None], tokens_c, K)
+        return _select(
+            cfg,
+            cons_noprev + beam_scores[..., None],
+            uncons_noprev + beam_scores[..., None],
+            tokens_c,
+            K,
+        )
+
     # ---- step 0: first constrained token (dense corpus mask) ------------
     start_col = 1 if cfg.forced_bos_token_id is None else 2
     logits, self_cache = bart.decode_step(
         model_cfg, params, tokens[:, start_col - 1], pos0, self_cache, cross_kv, enc_bias
     )
+    logits = _apply_topk_warper(logits, cfg)
     lp = _apply_min_length(_log_softmax(logits), start_col, cfg)
     lp = lp.reshape(B, K, V)
     if cfg.disable_fm_index:
@@ -301,6 +442,7 @@ def constrained_beam_search(
         corpus_mask = index.corpus_counts > 0  # occurring_distinct parity
         cons0 = jnp.where(corpus_mask[None, None, :], lp, NEG_INF)
     tokens_all = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32), (B, K, V))
+    rng_key, key0 = jax.random.split(rng_key)
     (
         c_tok0,
         c_par0,
@@ -310,7 +452,7 @@ def constrained_beam_search(
         sel_par,
         beam_scores,
         sel_fin0,
-    ) = _select(cfg, cons0 + beam_scores[..., None], lp + beam_scores[..., None], tokens_all, K)
+    ) = dispatch_select(cons0, lp, tokens_all, beam_scores, key0)
     tainted = ~sel_fin0
 
     flat_sel = (jnp.arange(B)[:, None] * K + sel_par).reshape(-1)
@@ -328,12 +470,14 @@ def constrained_beam_search(
 
     # ---- steps 1..S-1 inside one scan ------------------------------------
     def step(carry, t):
-        tokens, beam_scores, self_cache, lo, hi, prev_count, tainted = carry
+        tokens, beam_scores, self_cache, lo, hi, prev_count, tainted, key = carry
+        key, step_key = jax.random.split(key)
         cur_col = start_col + t  # column holding the last written token
         last = lax.dynamic_index_in_dim(tokens, cur_col, axis=1, keepdims=False)
         logits, new_cache = bart.decode_step(
             model_cfg, params, last, pos0 + 1 + t, self_cache, cross_kv, enc_bias
         )
+        logits = _apply_topk_warper(logits, cfg)
         lp = _apply_min_length(_log_softmax(logits), cur_col + 1, cfg)
 
         finished = (last == cfg.eos_token_id) | (last == cfg.pad_token_id)
@@ -347,11 +491,9 @@ def constrained_beam_search(
             # duplicates carry identical scores, keep one per token id
             keep = _dedup_mask(cand_tok, cons)
             cons = jnp.where(keep, cons, NEG_INF)
-        cons = cons + beam_scores[..., None]
-        uncons = cand_lp + beam_scores[..., None]
 
-        (c_tok, c_par, c_sco, c_fin, sel_tok, sel_par, new_beam_scores, sel_fin) = _select(
-            cfg, cons, uncons, cand_tok, K
+        (c_tok, c_par, c_sco, c_fin, sel_tok, sel_par, new_beam_scores, sel_fin) = (
+            dispatch_select(cons, cand_lp, cand_tok, beam_scores, step_key)
         )
 
         flat_sel = (jnp.arange(B)[:, None] * K + sel_par).reshape(-1)
@@ -379,13 +521,13 @@ def constrained_beam_search(
         new_tainted = tainted[par_rows, sel_par] | ~sel_fin
         carry = (
             new_tokens, new_beam_scores, new_cache, new_lo, new_hi, new_prev_count,
-            new_tainted,
+            new_tainted, key,
         )
         ys = (c_tok, c_par, c_sco, c_fin, sel_tok, sel_par)
         return carry, ys
 
     if S > 1:
-        carry = (tokens, beam_scores, self_cache, lo, hi, prev_count, tainted)
+        carry = (tokens, beam_scores, self_cache, lo, hi, prev_count, tainted, rng_key)
         carry, ys = lax.scan(step, carry, jnp.arange(S - 1, dtype=jnp.int32))
         tokens, beam_scores, tainted = carry[0], carry[1], carry[6]
         hist = jax.tree_util.tree_map(

@@ -41,9 +41,9 @@ def pad_batch(seqs: Sequence[Sequence[int]], pad_id: int, multiple: int = 8):
 
 @lru_cache(maxsize=64)
 def _jitted_search(model_cfg: BartConfig, dcfg: DecodeConfig):
-    def run(params, index, ids, mask):
+    def run(params, index, ids, mask, key):
         enc = bart.encode(model_cfg, params, ids, mask)
-        return constrained_beam_search(model_cfg, params, index, dcfg, enc, mask)
+        return constrained_beam_search(model_cfg, params, index, dcfg, enc, mask, key)
 
     return jax.jit(run)
 
@@ -116,6 +116,11 @@ def fm_index_generate(
     top_m: int = 256,
     window: int = 128,
     exact_mask: bool = False,
+    sample: bool = False,
+    topk: int = 0,
+    diverse_bs_groups: int = 1,
+    diverse_bs_penalty: float = 0.0,
+    seed: int = 0,
 ) -> List[List[Tuple[float, List[int]]]]:
     """Constrained generation; returns per-query [(score, token_list), ...].
 
@@ -145,8 +150,18 @@ def fm_index_generate(
         top_m=min(top_m, model_cfg.vocab_size),
         window=window,
         exact_mask=exact_mask,
+        sample=sample,
+        topk=topk,
+        num_groups=diverse_bs_groups,
+        diversity_penalty=diverse_bs_penalty,
     )
     run = _jitted_search(model_cfg, dcfg)
-    out = run(params, index, jnp.asarray(input_ids), jnp.asarray(attention_mask))
+    out = run(
+        params,
+        index,
+        jnp.asarray(input_ids),
+        jnp.asarray(attention_mask),
+        jax.random.PRNGKey(seed),
+    )
     out = jax.device_get(out)  # single host transfer for the whole pytree
     return extract_hypotheses(out, dcfg)

@@ -159,10 +159,6 @@ class SEALSearcher:
     def set_params(self, params: Dict):
         for key, val in self.DEFAULTS.items():
             setattr(self, key, params.get(key, val))
-        if self.diverse_bs_groups > 1:
-            raise NotImplementedError("diverse beam groups: not yet implemented")
-        if self.topk:
-            raise NotImplementedError("topk sampling warper: not yet implemented")
 
     @classmethod
     def add_args(cls, parser):
@@ -301,6 +297,9 @@ class SEALSearcher:
             top_m=self.top_m,
             window=self.window,
             exact_mask=self.exact_mask,
+            topk=self.topk,
+            diverse_bs_groups=self.diverse_bs_groups,
+            diverse_bs_penalty=self.diverse_bs_penalty,
         )
         rescore_strip = dict(
             strip_from_bos=[
