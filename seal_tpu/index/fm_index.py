@@ -162,6 +162,14 @@ class FMIndex:
         base = int(self.C[symbol])
         return base + self.occ(symbol, low), base + self.occ(symbol, high)
 
+    def backward_search_multi(self, query: Sequence[int]) -> Tuple[int, int]:
+        """Full-pattern search over *shifted* symbols -> half-open row range
+        (wire parity with the C++ wrapper, ``fm_index.cpp:55-65``)."""
+        low, high = 0, self.size()
+        for symbol in query:
+            low, high = self.backward_search_step(int(symbol), low, high)
+        return low, high
+
     def get_range(self, sequence: Sequence[int]) -> Tuple[int, int]:
         """Half-open row range of the token sequence (un-shifted ids).
 

@@ -130,6 +130,11 @@ def load_hf_checkpoint(path_or_model, cfg: BartConfig) -> Dict[str, Any]:
     return from_hf_torch_state_dict(sd, cfg)
 
 
+# Parity alias: reference ``load_state_dict_from_lightning_checkpoint``
+# (``seal/utils.py:31-39``) loads a plain HF-layout torch state dict.
+load_lightning_checkpoint = load_hf_checkpoint
+
+
 def apply_seal_logits_bias(params: Dict[str, Any], cfg: BartConfig) -> Dict[str, Any]:
     """Set final_logits_bias of pad/bos/mask to -inf (reference
     ``retrieval.py:584-588``), so those tokens can never be generated."""

@@ -16,6 +16,13 @@ These replace the reference's per-interval C++ calls:
 
 All ops take *unshifted* token ids and shift internally (host SHIFT == 1).
 Every op accepts arbitrary leading batch dims on its query operands.
+
+Kernel note: the rank binary search is latency-bound pointer chasing batched
+across lanes; XLA lowers the per-iteration ``psi[mid]`` to the TPU's native
+gather path.  A Pallas version was evaluated and rejected: Mosaic supports
+only 2-D aligned gathers (``operand[idx[i, j], j]``), not the arbitrary
+cross-lane indexing a search over a VMEM-resident table needs, so the XLA
+gather is the speed-of-light implementation on this hardware.
 """
 
 from __future__ import annotations

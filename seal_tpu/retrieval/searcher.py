@@ -33,6 +33,15 @@ from seal_tpu.scoring import keys as rk
 
 logger = logging.getLogger(__name__)
 
+# searcher registry for forked aggregation workers (the reference smuggles
+# the searcher through a __main__ global, retrieval.py:762-775)
+_MP_REGISTRY: Dict[int, "SEALSearcher"] = {}
+
+
+def _retrieve_from_keys_mp_aux(args):
+    idx, keys = args
+    return _MP_REGISTRY[idx].retrieve_from_keys(keys)
+
 
 class SEALSearcher:
     # Parity: reference retrieval.py:401-446 (same names, same defaults).
@@ -84,6 +93,7 @@ class SEALSearcher:
         "top_m": 256,  # speculative candidates per beam per step
         "window": 128,  # enumerated BWT rows per beam per step
         "exact_mask": False,  # dense O(vocab) constraint mask
+        "pipeline": True,  # overlap device generation with host aggregation
     }
 
     def __init__(
@@ -470,6 +480,32 @@ class SEALSearcher:
                 constrained_generation=not self.free_generation,
             )
 
+    def _pipelined_keys(self, queries: Sequence[str]):
+        """Run key generation in a producer thread so device decode of batch
+        N+1 overlaps host evidence aggregation of batch N."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=4 * self.batch_size)
+        sentinel = object()
+
+        def producer():
+            try:
+                for item in self.batch_generate_keys(queries):
+                    q.put(item)
+                q.put(sentinel)
+            except BaseException as e:  # surfaced in the consumer
+                q.put(e)
+
+        threading.Thread(target=producer, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
     def generate_keys(self, query: str):
         return next(iter(self.batch_generate_keys([query])))
 
@@ -501,8 +537,26 @@ class SEALSearcher:
         return results, ngrams
 
     def batch_retrieve_from_keys(self, keys):
-        for kk in keys:
-            yield self.retrieve_from_keys(kk)
+        if self.jobs >= 2:
+            yield from self._mp_batch_retrieve_from_keys(keys)
+        else:
+            for kk in keys:
+                yield self.retrieve_from_keys(kk)
+
+    def _mp_batch_retrieve_from_keys(self, keys):
+        """Process-parallel evidence aggregation (reference
+        ``retrieval.py:762-775``).  Workers fork and see the host index's
+        NumPy arrays copy-on-write; they never touch JAX state."""
+        import multiprocessing
+
+        idx = id(self)
+        _MP_REGISTRY[idx] = self
+        ctx = multiprocessing.get_context("fork")
+        try:
+            with ctx.Pool(self.jobs) as pool:
+                yield from pool.imap(_retrieve_from_keys_mp_aux, ((idx, kk) for kk in keys))
+        finally:
+            _MP_REGISTRY.pop(idx, None)
 
     # ----------------------------------------------------------------- search
 
@@ -512,7 +566,11 @@ class SEALSearcher:
     def batch_search(self, queries: Sequence[str], k: int = 10, detokenize=None):
         if detokenize is None:
             detokenize = self.detokenize
-        keys_it = self.batch_generate_keys(list(queries))
+        queries = list(queries)
+        keys_it = (
+            self._pipelined_keys(queries) if self.pipeline
+            else self.batch_generate_keys(queries)
+        )
         results, keysets = zip(*self.batch_retrieve_from_keys(keys_it))
 
         key_texts: Dict[tuple, Tuple[str, int]] = {}
