@@ -40,12 +40,31 @@ def pad_batch(seqs: Sequence[Sequence[int]], pad_id: int, multiple: int = 8):
 
 
 @lru_cache(maxsize=64)
-def _jitted_search(model_cfg: BartConfig, dcfg: DecodeConfig):
+def _jitted_search(model_cfg: BartConfig, dcfg: DecodeConfig, mesh=None):
+    """Jitted encoder + fused beam search.
+
+    With a mesh, queries shard over the ``data`` axis (params and index
+    replicated): XLA partitions the whole scan along the batch dim, so a
+    multi-chip slice serves one large batch -- the TPU-native replacement
+    for the reference's ``synced_gpus`` data parallelism
+    (``beam_search.py:221-229``).
+    """
+
     def run(params, index, ids, mask, key):
         enc = bart.encode(model_cfg, params, ids, mask)
         return constrained_beam_search(model_cfg, params, index, dcfg, enc, mask, key)
 
-    return jax.jit(run)
+    if mesh is None:
+        return jax.jit(run)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        run,
+        in_shardings=(None, None, data, data, repl),
+        out_shardings=None,
+    )
 
 
 def extract_hypotheses(
@@ -121,6 +140,7 @@ def fm_index_generate(
     diverse_bs_groups: int = 1,
     diverse_bs_penalty: float = 0.0,
     seed: int = 0,
+    mesh=None,
 ) -> List[List[Tuple[float, List[int]]]]:
     """Constrained generation; returns per-query [(score, token_list), ...].
 
@@ -155,7 +175,7 @@ def fm_index_generate(
         num_groups=diverse_bs_groups,
         diversity_penalty=diverse_bs_penalty,
     )
-    run = _jitted_search(model_cfg, dcfg)
+    run = _jitted_search(model_cfg, dcfg, mesh)
     out = run(
         params,
         index,
