@@ -40,6 +40,8 @@ def main(argv=None):
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--keep_samples", type=int, default=None)
     parser.add_argument("--chunked", type=int, default=0)
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a jax device trace into this directory")
     SEALSearcher.add_args(parser)
     args = parser.parse_args(argv)
     print(args)
@@ -78,7 +80,9 @@ def main(argv=None):
         if buf:
             yield buf
 
-    with output_writer:
+    from seal_tpu.utils.profiling import device_trace
+
+    with output_writer, device_trace(args.profile_dir):
         if args.chunked <= 0:
             topic_ids, texts = zip(*query_iterator)
             for topic_id, hits in zip(topic_ids, searcher.batch_search(list(texts), k=args.hits)):

@@ -44,7 +44,7 @@ from flax import struct
 from jax import lax
 
 from seal_tpu.index.device_index import DeviceFMIndex
-from seal_tpu.models import bart
+from seal_tpu.models import api as model_api
 from seal_tpu.models.config import BartConfig
 from seal_tpu.ops import fm_ops
 
@@ -359,6 +359,7 @@ def constrained_beam_search(
     V = model_cfg.vocab_size
     if rng_key is None:
         rng_key = jax.random.PRNGKey(0)
+    bart = model_api.module_for(model_cfg)  # family dispatch (bart / t5)
 
     # ---- beam-tiled encoder state ---------------------------------------
     enc_tiled = jnp.repeat(enc_out, K, axis=0)  # [B*K, Lsrc, D]

@@ -23,7 +23,7 @@ from seal_tpu.decoding.constrained import (
     constrained_beam_search,
 )
 from seal_tpu.index.device_index import DeviceFMIndex
-from seal_tpu.models import bart
+from seal_tpu.models import api as model_api
 from seal_tpu.models.config import BartConfig
 
 
@@ -49,6 +49,8 @@ def _jitted_search(model_cfg: BartConfig, dcfg: DecodeConfig, mesh=None):
     for the reference's ``synced_gpus`` data parallelism
     (``beam_search.py:221-229``).
     """
+
+    bart = model_api.module_for(model_cfg)
 
     def run(params, index, ids, mask, key):
         enc = bart.encode(model_cfg, params, ids, mask)

@@ -135,9 +135,63 @@ def load_hf_checkpoint(path_or_model, cfg: BartConfig) -> Dict[str, Any]:
 load_lightning_checkpoint = load_hf_checkpoint
 
 
-def apply_seal_logits_bias(params: Dict[str, Any], cfg: BartConfig) -> Dict[str, Any]:
+def _t5_attn(sd, prefix):
+    return {k: jnp.asarray(_np(sd[f"{prefix}.{k}.weight"]).T) for k in ("q", "k", "v", "o")}
+
+
+def _t5_ffn(sd, prefix, gated: bool):
+    p = {"wo": jnp.asarray(_np(sd[prefix + ".wo.weight"]).T)}
+    if gated:
+        p["wi_0"] = jnp.asarray(_np(sd[prefix + ".wi_0.weight"]).T)
+        p["wi_1"] = jnp.asarray(_np(sd[prefix + ".wi_1.weight"]).T)
+    else:
+        p["wi"] = jnp.asarray(_np(sd[prefix + ".wi.weight"]).T)
+    return p
+
+
+def from_hf_t5_state_dict(sd: Mapping[str, Any], cfg) -> Dict[str, Any]:
+    """Convert a HF ``T5ForConditionalGeneration.state_dict()`` to the
+    seal_tpu T5 param pytree."""
+    gated = cfg.feed_forward_proj == "gated-gelu"
+
+    def stack(side: str, cross: bool):
+        layers = []
+        for i in range(cfg.num_layers):
+            b = f"{side}.block.{i}.layer"
+            p = {
+                "self_attn": _t5_attn(sd, f"{b}.0.SelfAttention"),
+                "ln_self": jnp.asarray(_np(sd[f"{b}.0.layer_norm.weight"])),
+            }
+            if cross:
+                p["cross_attn"] = _t5_attn(sd, f"{b}.1.EncDecAttention")
+                p["ln_cross"] = jnp.asarray(_np(sd[f"{b}.1.layer_norm.weight"]))
+                ffn_idx = 2
+            else:
+                ffn_idx = 1
+            p["ffn"] = _t5_ffn(sd, f"{b}.{ffn_idx}.DenseReluDense", gated)
+            p["ln_ffn"] = jnp.asarray(_np(sd[f"{b}.{ffn_idx}.layer_norm.weight"]))
+            layers.append(p)
+        return {
+            "rel_bias": jnp.asarray(
+                _np(sd[f"{side}.block.0.layer.0.SelfAttention.relative_attention_bias.weight"])
+            ),
+            "layers": layers,
+            "final_ln": jnp.asarray(_np(sd[f"{side}.final_layer_norm.weight"])),
+        }
+
+    return {
+        "shared": jnp.asarray(_np(sd["shared.weight"])),
+        "encoder": stack("encoder", cross=False),
+        "decoder": stack("decoder", cross=True),
+    }
+
+
+def apply_seal_logits_bias(params: Dict[str, Any], cfg) -> Dict[str, Any]:
     """Set final_logits_bias of pad/bos/mask to -inf (reference
-    ``retrieval.py:584-588``), so those tokens can never be generated."""
+    ``retrieval.py:584-588``).  BART-specific, like the reference's
+    ``hasattr(model, 'final_logits_bias')`` guard -- a no-op for T5."""
+    if "final_logits_bias" not in params:
+        return params
     bias = np.asarray(params["final_logits_bias"]).copy()
     for tok in (cfg.pad_token_id, cfg.bos_token_id, cfg.mask_token_id):
         if tok is not None and tok < bias.shape[0]:

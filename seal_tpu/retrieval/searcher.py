@@ -236,7 +236,15 @@ class SEALSearcher:
         tokenizer = load_tokenizer(tokenizer_path or params.get("backbone", "facebook/bart-large"))
         if model_cfg is None:
             backbone = params.get("backbone", "facebook/bart-large")
-            if "tiny" in backbone:
+            if "t5" in backbone:
+                from seal_tpu.models.t5 import T5Config, t5_tiny
+
+                model_cfg = (
+                    t5_tiny(vocab_size=tokenizer.vocab_size)
+                    if "tiny" in backbone
+                    else T5Config(vocab_size=max(32128, tokenizer.vocab_size))
+                )
+            elif "tiny" in backbone:
                 from seal_tpu.models.config import bart_tiny
 
                 model_cfg = bart_tiny(vocab_size=tokenizer.vocab_size)
@@ -247,9 +255,18 @@ class SEALSearcher:
 
             model_cfg = dataclasses.replace(model_cfg, vocab_size=tokenizer.vocab_size)
 
+        from seal_tpu.models import api as model_api
+
+        model_mod = model_api.module_for(model_cfg)
+
         def load_params(path):
             if path in (None, "random"):
-                p = bart.init_params(jax.random.PRNGKey(0), model_cfg)
+                p = model_mod.init_params(jax.random.PRNGKey(0), model_cfg)
+            elif getattr(model_cfg, "family", "bart") == "t5":
+                import torch
+
+                sd = torch.load(path, map_location="cpu", weights_only=False)
+                p = convert.from_hf_t5_state_dict(sd.get("model", sd), model_cfg)
             elif path.endswith(".pt"):
                 if params.get("fairseq_checkpoint", True):
                     p = convert.load_fairseq_checkpoint(path, model_cfg)
@@ -564,14 +581,18 @@ class SEALSearcher:
         return self.batch_search([query], k=k)[0]
 
     def batch_search(self, queries: Sequence[str], k: int = 10, detokenize=None):
+        from seal_tpu.utils.profiling import PhaseTimer
+
         if detokenize is None:
             detokenize = self.detokenize
         queries = list(queries)
-        keys_it = (
-            self._pipelined_keys(queries) if self.pipeline
-            else self.batch_generate_keys(queries)
-        )
-        results, keysets = zip(*self.batch_retrieve_from_keys(keys_it))
+        timer = PhaseTimer(enabled=self.progress)
+        with timer.phase("generate+aggregate"):
+            keys_it = (
+                self._pipelined_keys(queries) if self.pipeline
+                else self.batch_generate_keys(queries)
+            )
+            results, keysets = zip(*self.batch_retrieve_from_keys(keys_it))
 
         key_texts: Dict[tuple, Tuple[str, int]] = {}
         for kk in keysets:
@@ -607,9 +628,11 @@ class SEALSearcher:
                 docs.append(doc)
             retrieved.append(docs)
         if detokenize:
-            for docs in retrieved:
-                for d in docs:
-                    d.text()
+            with timer.phase("detokenize"):
+                for docs in retrieved:
+                    for d in docs:
+                        d.text()
+        timer.log_summary()
         return retrieved
 
     def doc(self, docid) -> Optional[SEALDocument]:

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from seal_tpu.models import bart
+from seal_tpu.models import api as model_api
 from seal_tpu.models.config import BartConfig
 from seal_tpu.models.tokenizer import word_tokenize
 
@@ -99,6 +99,8 @@ def _pad_to(seqs: Sequence[Sequence[int]], pad: int, multiple: int = 4):
 
 @lru_cache(maxsize=32)
 def _jitted_rescore(model_cfg: BartConfig):
+    bart = model_api.module_for(model_cfg)
+
     def run(params, enc_out, enc_mask, dec_ids):
         logits = bart.decode_full(model_cfg, params, enc_out, enc_mask, dec_ids[:, :-1])
         lp = jax.nn.log_softmax(logits, axis=-1)
@@ -112,6 +114,7 @@ def _jitted_rescore(model_cfg: BartConfig):
 
 @lru_cache(maxsize=32)
 def _jitted_encode(model_cfg: BartConfig):
+    bart = model_api.module_for(model_cfg)
     return jax.jit(lambda params, ids, mask: bart.encode(model_cfg, params, ids, mask))
 
 
@@ -181,6 +184,8 @@ def rescore_keys(
 
 @lru_cache(maxsize=32)
 def _jitted_unigram(model_cfg: BartConfig, n_prefix: int):
+    bart = model_api.module_for(model_cfg)
+
     def run(params, ids, mask, dec_ids):
         enc = bart.encode(model_cfg, params, ids, mask)
         logits = bart.decode_full(model_cfg, params, enc, mask, dec_ids)
