@@ -101,6 +101,14 @@ class FMIndex:
         self.sa = build_suffix_array(self.text)
         self._derive()
 
+    def token_count(self, token: int) -> int:
+        """O(1) corpus count of a single token (C-array difference); equals
+        ``get_count([token])`` without the rank queries."""
+        c = int(token) + SHIFT
+        if c < 1 or c + 1 >= self.C.size:
+            return 0
+        return int(self.C[c + 1] - self.C[c])
+
     def _derive(self) -> None:
         """Compute psi, C and the step-1 token statistics from text+sa."""
         n = self.text.size

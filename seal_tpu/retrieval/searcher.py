@@ -40,7 +40,8 @@ _MP_REGISTRY: Dict[int, "SEALSearcher"] = {}
 
 def _retrieve_from_keys_mp_aux(args):
     idx, keys = args
-    return _MP_REGISTRY[idx].retrieve_from_keys(keys)
+    # forked workers must not touch the JAX runtime: host-only index queries
+    return _MP_REGISTRY[idx].retrieve_from_keys(keys, use_device=False)
 
 
 class SEALSearcher:
@@ -294,6 +295,52 @@ class SEALSearcher:
         limit = self.model_cfg.max_position_embeddings
         return [self.tokenizer.encode(t)[:limit] for t in texts]
 
+    # ------------------------------------------------- batched index queries
+
+    def _device_ranges(self, seqs: Sequence[Sequence[int]]):
+        """Batched get_range on device (one call for any number of keys).
+
+        The TPU host VM is frequently single-core; per-key host searchsorted
+        chains dominate end-to-end latency otherwise.  Shapes are bucketed
+        (pow2 batch, multiple-of-8 length) to bound recompiles.
+        """
+        import jax
+
+        from seal_tpu.ops import fm_ops
+
+        seqs = list(seqs)
+        if not seqs:
+            return []
+        if not hasattr(self, "_jit_ranges"):
+            self._jit_ranges = jax.jit(
+                lambda idx, t, l: fm_ops.range_for_sequences(idx, t, l)
+            )
+        n = len(seqs)
+        np_b = 1 << max(5, (n - 1).bit_length())
+        L = max(len(s) for s in seqs)
+        L = ((L + 7) // 8) * 8
+        toks = np.zeros((np_b, L), np.int32)
+        lens = np.zeros(np_b, np.int32)
+        for i, s in enumerate(seqs):
+            toks[i, : len(s)] = s
+            lens[i] = len(s)
+        lo, hi = self._jit_ranges(self.device_index, toks, lens)
+        lo = np.asarray(lo)[:n]
+        hi = np.asarray(hi)[:n]
+        return list(zip(lo.tolist(), hi.tolist()))
+
+    def _device_counts(self, seqs: Sequence[Sequence[int]]) -> List[int]:
+        return [hi - lo for lo, hi in self._device_ranges(seqs)]
+
+    def _count_filter(self, fk):
+        """Drop (score, key) pairs whose key does not occur in the corpus
+        (reference retrieval.py:91) -- one batched device call."""
+        fk = [(sc, k) for sc, k in fk if k]
+        if not fk:
+            return fk
+        counts = self._device_counts([k for _, k in fk])
+        return [(sc, k) for (sc, k), c in zip(fk, counts) if c > 0]
+
     def _marked(self, inputs: Sequence[str], marker: str) -> List[str]:
         batch = list(inputs)
         if self.use_markers:
@@ -310,10 +357,15 @@ class SEALSearcher:
         fk = [(sc, k[:-1] if k[-1] in s else k) for sc, k in fk if k]
         if self.min_length > 0:
             fk = [(sc, k) for sc, k in fk if len(k) == self.min_length]
-        return [(sc, k) for sc, k in fk if k and self.fm_index.get_count(k) > 0]
+        return self._count_filter(fk)
 
     def process_batch(self, inputs: Sequence[str], constrained_generation: bool = True):
         """Key generation for one query batch (reference retrieval.py:54-305)."""
+        n_real = len(inputs)
+        if n_real < self.batch_size:
+            # pad ragged final batches to the full batch shape so the jitted
+            # decode/rescore programs keep one compiled signature
+            inputs = list(inputs) + [inputs[-1]] * (self.batch_size - n_real)
         inputs = [
             (" " + q.strip()) if self.prepend_space else q.strip() for q in inputs
         ]
@@ -376,7 +428,9 @@ class SEALSearcher:
                 new_fk = [k[1:] if k and k[0] in s else k for k in new_fk if k]
                 if self.min_length > 0:
                     new_fk = [k for k in new_fk if len(k) == self.min_length]
-                new_fk = [k for k in new_fk if k and self.fm_index.get_count(k) > 0]
+                new_fk = [k for k in new_fk if k]
+                counts = self._device_counts(new_fk)
+                new_fk = [k for k, c in zip(new_fk, counts) if c > 0]
                 decomposed.append(new_fk)
             marked = self._tokenize_batch(self._marked(inputs, "body"))
             scored = rk.rescore_keys(self.model_cfg, self.params, marked, decomposed)
@@ -411,7 +465,7 @@ class SEALSearcher:
                     (sc, [self.title_bos_token_id] + k if k[0] != self.title_bos_token_id else k)
                     for sc, k in fk if k
                 ]
-                fk = [(sc, k) for sc, k in fk if k and self.fm_index.get_count(k) > 0]
+                fk = self._count_filter(fk)
                 new_keys.append(fk)
             if self.rescore and self.use_markers:
                 new_keys = rk.rescore_keys(
@@ -451,7 +505,7 @@ class SEALSearcher:
                     (sc, [self.code_bos_token_id] + k if k[0] != self.code_bos_token_id else k)
                     for sc, k in fk if k
                 ]
-                fk = [(sc, k) for sc, k in fk if k and self.fm_index.get_count(k) > 0]
+                fk = self._count_filter(fk)
                 new_keys.append(fk)
             if self.rescore and self.use_markers:
                 new_keys = rk.rescore_keys(
@@ -487,8 +541,8 @@ class SEALSearcher:
             us = rk.compute_unigram_scores(
                 self.model_cfg, self.scorer_params, marked, prefix=prefix
             )
-            return list(zip(found_keys, us))
-        return found_keys
+            return list(zip(found_keys, us))[:n_real]
+        return found_keys[:n_real]
 
     def batch_generate_keys(self, queries: Sequence[str]):
         for off in range(0, len(queries), self.batch_size):
@@ -528,13 +582,14 @@ class SEALSearcher:
 
     # ------------------------------------------------------------- retrieval
 
-    def retrieve_from_keys(self, keys):
+    def retrieve_from_keys(self, keys, use_device: bool = True):
         unigram_scores = None
         if isinstance(keys, tuple) and len(keys) == 2:
             keys, unigram_scores = keys
         results, ngrams = rk.aggregate_evidence(
             ngrams_and_scores=keys,
             unigram_scores=unigram_scores,
+            range_fn=self._device_ranges if use_device else None,
             index=self.fm_index,
             max_occurrences_1=self.max_hits,
             n_docs_complete_score=self.fully_score,
@@ -595,13 +650,11 @@ class SEALSearcher:
             results, keysets = zip(*self.batch_retrieve_from_keys(keys_it))
 
         key_texts: Dict[tuple, Tuple[str, int]] = {}
-        for kk in keysets:
-            for key in kk:
-                if key not in key_texts:
-                    key_texts[key] = (
-                        self.tokenizer.decode(list(key)),
-                        self.fm_index.get_count(list(key)),
-                    )
+        uniq_keys = list({key for kk in keysets for key in kk})
+        if uniq_keys:
+            key_counts = self._device_counts([list(k) for k in uniq_keys])
+            for key, cnt in zip(uniq_keys, key_counts):
+                key_texts[key] = (self.tokenizer.decode(list(key)), cnt)
 
         retrieved = []
         for query, res in zip(queries, results):

@@ -27,7 +27,7 @@ import math
 from collections import Counter, defaultdict
 from functools import lru_cache
 from heapq import heappop, heappush
-from itertools import chain, islice, product
+from itertools import chain, product
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -88,7 +88,9 @@ def decompose_query_into_keys(query: str, length: int = 3) -> List[str]:
 # ---------------------------------------------------------------- LM scoring
 
 
-def _pad_to(seqs: Sequence[Sequence[int]], pad: int, multiple: int = 4):
+def _pad_to(seqs: Sequence[Sequence[int]], pad: int, multiple: int = 8):
+    """Right-pad to a length bucket (multiple-of-8 lengths keep the set of
+    compiled shapes small -- recompiles dominate steady-state cost otherwise)."""
     maxlen = max(len(s) for s in seqs)
     maxlen = ((maxlen + multiple - 1) // multiple) * multiple
     ids = np.full((len(seqs), maxlen), pad, np.int32)
@@ -164,6 +166,10 @@ def rescore_keys(
     run = _jitted_rescore(model_cfg)
     for off in range(0, len(jobs), batch_size):
         batch = jobs[off : off + batch_size]
+        n_real = len(batch)
+        if n_real < batch_size:
+            # pad the ragged tail to the full batch shape (avoid recompiles)
+            batch = batch + [batch[0]] * (batch_size - n_real)
         dec_ids = _pad_to([d for _, _, d in batch], pad)
         qidx = np.array([q for q, _, _ in batch])
         tok_lp = np.asarray(
@@ -176,7 +182,7 @@ def rescore_keys(
         )
         tok_lp = tok_lp[:, len(prefix):]  # drop forced-prefix positions
         lls = tok_lp.sum(-1)
-        for (qi, di, _), ll in zip(batch, lls):
+        for (qi, di, _), ll in zip(batch[:n_real], lls[:n_real]):
             sco = float(ll) / (len(di) ** length_penalty) if di else float(ll)
             all_out[qi].append((sco, di))
     return [all_out[i] for i in range(len(list_of_decoded))]
@@ -255,6 +261,7 @@ def aggregate_evidence(
     single_key: float = 0.0,
     single_key_add_unigrams: bool = False,
     unigrams_ignore_free_places: bool = False,
+    range_fn=None,  # optional batched List[ngram] -> [(lo, hi), ...] (device)
 ):
     """Aggregate key scores into ranked documents.
 
@@ -280,13 +287,30 @@ def aggregate_evidence(
     else:
         cutoff = None
 
+    # ranges (and thus counts) for every input ngram in one batched call
+    # when a device range_fn is provided (the TPU host is often 1-core; the
+    # per-ngram searchsorted chain dominates otherwise)
+    ranges_pre: Dict[tuple, Tuple[int, int]] = {}
+    if range_fn is not None and ngrams_and_scores:
+        uniq = list({tuple(n) for n, _ in ngrams_and_scores})
+        for n, r in zip(uniq, range_fn([list(n) for n in uniq])):
+            ranges_pre[n] = (int(r[0]), int(r[1]))
+
+    def get_range_cached(ngram_t: tuple) -> Tuple[int, int]:
+        r = ranges_pre.get(ngram_t)
+        if r is None:
+            r = index.get_range(list(ngram_t))
+            ranges_pre[ngram_t] = r
+        return r
+
     # ---- key scores ------------------------------------------------------
     unigrams = {0, 1, 2}
     scored: List[Tuple[List[int], float]] = []
     for ngram, sr in ngrams_and_scores:
         if len(ngram) == 1:
             unigrams.add(ngram[0])
-        count = index.get_count(ngram)
+        lo_, hi_ = get_range_cached(tuple(ngram))
+        count = hi_ - lo_
         counts[tuple(ngram)] = count
         if count == 0:
             sco = 0.0
@@ -305,12 +329,19 @@ def aggregate_evidence(
         best = sorted(range(len(unigram_scores)), reverse=True, key=lambda i: unigram_scores[i])
         best = set(best[:use_top_k_unigrams])
         unigram_scores = [s if i in best else float("-inf") for i, s in enumerate(unigram_scores)]
+        # O(1) single-token counts via the C array when available (the
+        # reference walks the index for every vocab entry, keys.py:252)
+        count1 = getattr(index, "token_count", lambda i: index.get_count([i]))
         for i in range(len(unigram_scores)):
             if i in unigrams:
                 unigram_scores[i] = 0.0
                 continue
             sr = unigram_scores[i]
-            count = index.get_count([i])
+            if sr == float("-inf"):
+                # not in the top-k: score is 0 regardless of count
+                unigram_scores[i] = 0.0
+                continue
+            count = count1(i)
             if count == 0:
                 sco = 0.0
             elif use_fm_index_frequency:
@@ -331,7 +362,7 @@ def aggregate_evidence(
                 range(len(unigram_scores)), key=lambda x: -unigram_scores[x]
             )[: len(ngrams_and_scores)]
             for i in best_unigrams:
-                counts[(i,)] = index.get_count([i])
+                counts[(i,)] = count1(i)
                 ngrams_and_scores.append(([i], unigram_scores[i]))
 
     # ---- rare / frequent split (keys.py:280-309) -------------------------
@@ -357,15 +388,27 @@ def aggregate_evidence(
     covered_points = set()
     first_stage: Dict[int, list] = defaultdict(lambda: [0.0, [], [[], 0.0]])
 
+    beginnings_arr = np.asarray(index.beginnings, dtype=np.int64)
+    n_corpus = int(index.beginnings[-1])
+    covered = np.zeros(n_corpus + 1, dtype=bool)  # vectorized covered_points
     for ngram, sco in rare_ngrams.items():
         doc_done: Dict[int, set] = defaultdict(set)
-        lo, hi = index.get_range(list(ngram))
-        rows = range(lo, hi)
-        for row in islice(rows, max_occurrences_1):
-            tok_end = index.locate(row)
+        lo, hi = get_range_cached(tuple(ngram))
+        n_rows = min(hi - lo, max_occurrences_1)
+        # vectorized locate (SA slice) + doc lookup for the whole interval
+        # (the reference walks a sampled SA per row, keys.py:320-326)
+        tok_ends = np.asarray(index.sa[lo : lo + n_rows], dtype=np.int64)
+        doc_ids = np.searchsorted(beginnings_arr, tok_ends, side="right") - 1
+        for row_i in range(n_rows):
+            tok_end = int(tok_ends[row_i])
             tok_start = tok_end - len(ngram)
-            doc = index.get_doc_index(tok_end)
-            new = all(i not in covered_points for i in range(tok_start, tok_end))
+            doc = int(doc_ids[row_i])
+            # covered positions live in a bool array; positions < 0 (matches
+            # at the very start of the corpus, reference keys.py:322-325 has
+            # the same pseudo-span) go to the side set
+            new = not covered[max(tok_start, 0) : tok_end].any() and not any(
+                i in covered_points for i in range(tok_start, min(tok_end, 0))
+            )
 
             if sort_by_length:
                 order = (len(ngram), sco)
@@ -383,7 +426,9 @@ def aggregate_evidence(
                 first_stage[doc][2] = [ngram, sco]
 
             if new:
-                covered_points.update(range(tok_start, tok_end))
+                covered[max(tok_start, 0) : tok_end] = True
+                if tok_start < 0:
+                    covered_points.update(range(tok_start, min(tok_end, 0)))
             if new or allow_overlaps:
                 if ngram not in doc_done[doc]:
                     doc_done[doc].add(ngram)
