@@ -390,50 +390,56 @@ def aggregate_evidence(
 
     beginnings_arr = np.asarray(index.beginnings, dtype=np.int64)
     n_corpus = int(index.beginnings[-1])
-    covered = np.zeros(n_corpus + 1, dtype=bool)  # vectorized covered_points
+    covered = np.zeros(n_corpus + 2, dtype=np.uint8)  # vectorized covered_points
+    try:
+        from seal_tpu.cpp import native as _native
+
+        claim = _native.load().stage1_claim
+    except Exception:  # pragma: no cover - fallback when g++ unavailable
+        def claim(cov, ends, length):
+            flags = np.empty(ends.size, bool)
+            for i, e in enumerate(ends):
+                s = max(int(e) - length, 0)
+                fresh = not cov[s:e].any()
+                flags[i] = fresh
+                if fresh:
+                    cov[s:e] = 1
+            return flags
+
     for ngram, sco in rare_ngrams.items():
-        doc_done: Dict[int, set] = defaultdict(set)
         lo, hi = get_range_cached(tuple(ngram))
         n_rows = min(hi - lo, max_occurrences_1)
         # vectorized locate (SA slice) + doc lookup for the whole interval
-        # (the reference walks a sampled SA per row, keys.py:320-326)
+        # (the reference walks a sampled SA per row, keys.py:320-326); spans
+        # with tok_start < 0 (reference pseudo-spans at the corpus edge,
+        # keys.py:322-325) are clamped to 0
         tok_ends = np.asarray(index.sa[lo : lo + n_rows], dtype=np.int64)
         doc_ids = np.searchsorted(beginnings_arr, tok_ends, side="right") - 1
+        new_flags = claim(covered, tok_ends, len(ngram))
+
+        if sort_by_length:
+            order = (len(ngram), sco)
+        elif sort_by_freq:
+            order = (-counts[tuple(ngram)], sco)
+        else:
+            order = sco
+
+        doc_done: set = set()
         for row_i in range(n_rows):
-            tok_end = int(tok_ends[row_i])
-            tok_start = tok_end - len(ngram)
             doc = int(doc_ids[row_i])
-            # covered positions live in a bool array; positions < 0 (matches
-            # at the very start of the corpus, reference keys.py:322-325 has
-            # the same pseudo-span) go to the side set
-            new = not covered[max(tok_start, 0) : tok_end].any() and not any(
-                i in covered_points for i in range(tok_start, min(tok_end, 0))
-            )
-
+            info = first_stage[doc]
             if sort_by_length:
-                order = (len(ngram), sco)
-                max_order = (len(first_stage[doc][2][0]), first_stage[doc][2][1])
+                max_order = (len(info[2][0]), info[2][1])
             elif sort_by_freq:
-                order = (-counts[tuple(ngram)], sco)
-                max_order = (
-                    -counts.get(tuple(first_stage[doc][2][0]), 0),
-                    first_stage[doc][2][1],
-                )
+                max_order = (-counts.get(tuple(info[2][0]), 0), info[2][1])
             else:
-                order = sco
-                max_order = first_stage[doc][2][1]
+                max_order = info[2][1]
             if order > max_order:
-                first_stage[doc][2] = [ngram, sco]
-
-            if new:
-                covered[max(tok_start, 0) : tok_end] = True
-                if tok_start < 0:
-                    covered_points.update(range(tok_start, min(tok_end, 0)))
-            if new or allow_overlaps:
-                if ngram not in doc_done[doc]:
-                    doc_done[doc].add(ngram)
-                    first_stage[doc][0] += sco
-                    first_stage[doc][1].append((ngram, sco))
+                info[2] = [ngram, sco]
+            if (new_flags[row_i] or allow_overlaps) and doc not in doc_done:
+                doc_done.add(doc)
+                info[0] += sco
+                info[1].append((ngram, sco))
 
     # per-doc coverage re-scoring (keys.py:352-364)
     for doc, doc_info in first_stage.items():
@@ -453,22 +459,67 @@ def aggregate_evidence(
         key=lambda x: (1.0 - single_key) * (-x[1][0]) + single_key * (-x[1][2][1]),
     )[:n_docs_complete_score]
 
-    # ---- stage 2: full trie matching (keys.py:377-497) -------------------
+    # ---- stage 2: full multi-pattern matching (keys.py:377-497) ----------
     results: Dict[int, list] = defaultdict(
         lambda: [0.0, [], None, None, [[], 0.0]]
     )
 
-    trie: Dict = {}
-    for ngram, score in all_ngrams.items():
-        if len(ngram) < 1 or score <= 0.0:
-            continue
-        node = trie
-        for t in ngram:
-            node = node.setdefault(t, {})
-        node[-1] = score
+    # the match set of the reference's streaming token trie, computed by one
+    # Aho-Corasick pass over all candidate docs (native) or the trie fallback
+    patterns = [n for n, s in all_ngrams.items() if len(n) >= 1 and s > 0.0]
+    pat_scores = [all_ngrams[n] for n in patterns]
+    doc_list = [doc for doc, _ in to_fully_score]
+    doc_tokens_list = [[2] + index.get_doc(doc)[:-1] for doc in doc_list]
 
-    for doc, _ in to_fully_score:
-        doc_tokens = [2] + index.get_doc(doc)[:-1]
+    per_doc_matches: List[Dict[tuple, list]] = []
+    try:
+        from seal_tpu.cpp import native as _native
+
+        triples = _native.load().ac_match(
+            [list(p) for p in patterns], doc_tokens_list
+        )
+        # group by doc; insertion order = (end position, shorter first) to
+        # mirror the reference's streaming completion order
+        per_doc_matches = [dict() for _ in doc_list]
+        if len(triples):
+            plen = np.array([len(p) for p in patterns], np.int64)
+            ends = triples[:, 2] + plen[triples[:, 1]]
+            order = np.lexsort((plen[triples[:, 1]], ends, triples[:, 0]))
+            for t in order:
+                d, p, start = int(triples[t, 0]), int(triples[t, 1]), int(triples[t, 2])
+                per_doc_matches[d].setdefault(patterns[p], [pat_scores[p], []])[1].append(
+                    (start, start + int(plen[p]))
+                )
+    except Exception:  # pragma: no cover - g++ unavailable
+        trie: Dict = {}
+        for ngram, score in zip(patterns, pat_scores):
+            node = trie
+            for t in ngram:
+                node = node.setdefault(t, {})
+            node[-1] = score
+        for doc_tokens in doc_tokens_list:
+            matches: Dict[tuple, list] = {}
+            open_matches: List[tuple] = []
+            for i, tok in enumerate(doc_tokens):
+                open_matches = [
+                    (m.get(tok), l + 1, n) for (m, l, n) in open_matches
+                ] + [(trie.get(tok), 1, [])]
+                for _, _, n in open_matches:
+                    n.append(tok)
+                new_open = []
+                while open_matches:
+                    m, l, n = open_matches.pop()
+                    if m is None:
+                        continue
+                    new_open.append((m, l, n))
+                    if -1 in m:
+                        matches.setdefault(tuple(n), [m[-1], []])[1].append(
+                            (i - l + 1, i + 1)
+                        )
+                open_matches = new_open
+            per_doc_matches.append(matches)
+
+    for doc, doc_tokens, matches in zip(doc_list, doc_tokens_list, per_doc_matches):
         results[doc][3] = doc_tokens
 
         if unigram_scores is not None:
@@ -476,25 +527,6 @@ def aggregate_evidence(
                            for t in doc_tokens}
         else:
             type_scores = {t: 0.0 for t in doc_tokens}
-
-        # stream all trie matches with an open-match frontier
-        matches: Dict[tuple, list] = {}
-        open_matches: List[tuple] = []
-        for i, tok in enumerate(doc_tokens):
-            open_matches = [(m.get(tok), l + 1, n) for (m, l, n) in open_matches] + [
-                (trie.get(tok), 1, [])
-            ]
-            for _, _, n in open_matches:
-                n.append(tok)
-            new_open = []
-            while open_matches:
-                m, l, n = open_matches.pop()
-                if m is None:
-                    continue
-                new_open.append((m, l, n))
-                if -1 in m:
-                    matches.setdefault(tuple(n), [m[-1], []])[1].append((i - l + 1, i + 1))
-            open_matches = new_open
 
         greedy_matches: List[tuple] = []
         for n, (s, d) in matches.items():
