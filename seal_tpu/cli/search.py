@@ -46,6 +46,13 @@ def main(argv=None):
     args = parser.parse_args(argv)
     print(args)
 
+    if args.device and args.device not in ("auto", "cuda:0"):
+        # e.g. --device cpu; the ambient sitecustomize pins the TPU platform,
+        # so the config override (not the env var) is what works here
+        import jax
+
+        jax.config.update("jax_platforms", args.device.split(":")[0])
+
     query_iterator = get_query_iterator(args.topics, TopicsFormat(args.topics_format))
     output_writer = get_output_writer(
         args.output,

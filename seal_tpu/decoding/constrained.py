@@ -51,6 +51,42 @@ from seal_tpu.ops import fm_ops
 NEG_INF = float(np.finfo(np.float32).min) / 2  # large-negative, -inf-safe
 
 
+class SingleIndexOps:
+    """Constraint-op adapter over one DeviceFMIndex.
+
+    The fused decoder talks to the index only through this interface, so a
+    corpus-sharded index can drop in (``seal_tpu.parallel.sharded_decode``:
+    per-shard local ranges + psum/all_gather merges inside shard_map).
+    """
+
+    def __init__(self, index: DeviceFMIndex):
+        self.index = index
+
+    def full_range(self, shape):
+        return self.index.full_range(shape)
+
+    def range_for(self, tokens, lengths):
+        return fm_ops.range_for_sequences(self.index, tokens, lengths)
+
+    def corpus_mask(self):
+        return self.index.corpus_counts > 0
+
+    def validate(self, tokens, lo, hi):
+        return fm_ops.validate_tokens(self.index, tokens, lo, hi)
+
+    def window(self, lo, hi, w):
+        return fm_ops.window_continuations(self.index, lo, hi, w)
+
+    def extend(self, tokens, lo, hi):
+        return fm_ops.extend_ranges(self.index, tokens, lo, hi)
+
+    def range_size(self, lo, hi):
+        return hi - lo
+
+    def dense_counts(self, lo, hi, chunk):
+        return fm_ops.dense_counts(self.index, lo, hi, chunk=chunk)
+
+
 @dataclasses.dataclass(frozen=True)
 class DecodeConfig:
     """Static generation knobs (hashable -> part of the jit signature)."""
@@ -133,7 +169,7 @@ def _apply_min_length(lp, cur_len, cfg: DecodeConfig):
 
 
 def _candidates_general(
-    index: DeviceFMIndex,
+    ops,
     cfg: DecodeConfig,
     lp,  # [B*K, V] processed logprobs
     lo,  # [B, K]
@@ -151,7 +187,7 @@ def _candidates_general(
 
     if cfg.exact_mask and not cfg.disable_fm_index:
         # dense parity mode: the candidate set is the whole vocab
-        counts = fm_ops.dense_counts(index, lo, hi, chunk=cfg.dense_chunk)  # [B,K,V]
+        counts = ops.dense_counts(lo, hi, cfg.dense_chunk)  # [B,K,V]
         tokens = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32), (B, K, V))
         fm_valid = counts > 0
         cand_lp = lp
@@ -167,14 +203,14 @@ def _candidates_general(
         fm_valid = jnp.ones(tokens.shape, bool)
         return _apply_branches(cfg, tokens, fm_valid, top_lp, prev_count, finished)
 
-    top_counts = fm_ops.validate_tokens(index, top_tok.astype(jnp.int32), lo, hi)
+    top_counts = ops.validate(top_tok.astype(jnp.int32), lo, hi)
     # --- exhaustive small-interval window --------------------------------
-    win_tok, win_valid = fm_ops.window_continuations(index, lo, hi, cfg.window)
+    win_tok, win_valid = ops.window(lo, hi, cfg.window)
     win_tok = jnp.where(win_valid, win_tok, cfg.pad_token_id).astype(jnp.int32)
     win_lp = jnp.take_along_axis(lp, win_tok.astype(jnp.int32), axis=-1)
     # --- explicit EOS slot (PAD is in no corpus; EOS handled by branches) -
     eos_tok = jnp.full((B, K, 1), cfg.eos_token_id, jnp.int32)
-    eos_cnt = fm_ops.validate_tokens(index, eos_tok, lo, hi)
+    eos_cnt = ops.validate(eos_tok, lo, hi)
     eos_lp = lp[..., cfg.eos_token_id][..., None]
     pad_tok = jnp.full((B, K, 1), cfg.pad_token_id, jnp.int32)
     pad_lp = lp[..., cfg.pad_token_id][..., None]
@@ -350,6 +386,7 @@ def constrained_beam_search(
     enc_out,  # [B, Lsrc, D]  encoder output (NOT beam-tiled)
     enc_mask,  # [B, Lsrc]
     rng_key=None,  # PRNG key (sampling mode only)
+    index_ops=None,  # constraint-op adapter (defaults to SingleIndexOps)
 ) -> BeamSearchOutput:
     """Run the fused constrained beam search for a batch of queries."""
     B = enc_out.shape[0]
@@ -360,6 +397,7 @@ def constrained_beam_search(
     if rng_key is None:
         rng_key = jax.random.PRNGKey(0)
     bart = model_api.module_for(model_cfg)  # family dispatch (bart / t5)
+    ops = index_ops if index_ops is not None else SingleIndexOps(index)
 
     # ---- beam-tiled encoder state ---------------------------------------
     enc_tiled = jnp.repeat(enc_out, K, axis=0)  # [B*K, Lsrc, D]
@@ -384,13 +422,13 @@ def constrained_beam_search(
     # ---- constraint state ------------------------------------------------
     if cfg.force_decoding_from:
         fseq = np.asarray(cfg.force_decoding_from, np.int32)
-        flo, fhi = fm_ops.range_for_sequences(
-            index, jnp.asarray(fseq)[None, :], jnp.asarray([len(fseq)], jnp.int32)
+        flo, fhi = ops.range_for(
+            jnp.asarray(fseq)[None, :], jnp.asarray([len(fseq)], jnp.int32)
         )
         lo0 = jnp.broadcast_to(flo[0], (B, K)).astype(jnp.int32)
         hi0 = jnp.broadcast_to(fhi[0], (B, K)).astype(jnp.int32)
     else:
-        lo0, hi0 = index.full_range((B, K))
+        lo0, hi0 = ops.full_range((B, K))
     pos0 = jnp.int32(0)
 
     # ---- optional forced BOS step ---------------------------------------
@@ -440,7 +478,7 @@ def constrained_beam_search(
     if cfg.disable_fm_index:
         cons0 = lp
     else:
-        corpus_mask = index.corpus_counts > 0  # occurring_distinct parity
+        corpus_mask = ops.corpus_mask()  # occurring_distinct parity
         cons0 = jnp.where(corpus_mask[None, None, :], lp, NEG_INF)
     tokens_all = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32), (B, K, V))
     rng_key, key0 = jax.random.split(rng_key)
@@ -459,9 +497,8 @@ def constrained_beam_search(
     flat_sel = (jnp.arange(B)[:, None] * K + sel_par).reshape(-1)
     tokens = tokens[flat_sel].at[:, start_col].set(sel_tok.reshape(-1))
     self_cache = bart.reorder_cache(self_cache, flat_sel)
-    prev_count = (hi0 - lo0)[jnp.arange(B)[:, None], sel_par]
-    lo, hi = fm_ops.extend_ranges(
-        index,
+    prev_count = ops.range_size(lo0, hi0)[jnp.arange(B)[:, None], sel_par]
+    lo, hi = ops.extend(
         sel_tok,
         lo0[jnp.arange(B)[:, None], sel_par],
         hi0[jnp.arange(B)[:, None], sel_par],
@@ -484,7 +521,7 @@ def constrained_beam_search(
         finished = (last == cfg.eos_token_id) | (last == cfg.pad_token_id)
         finished = finished.reshape(B, K)
         cand_tok, allowed, cand_lp = _candidates_general(
-            index, cfg, lp, lo, hi, prev_count, finished
+            ops, cfg, lp, lo, hi, prev_count, finished
         )
         cons = jnp.where(allowed, cand_lp, NEG_INF)
         if not (cfg.exact_mask or cfg.disable_fm_index):
@@ -496,6 +533,10 @@ def constrained_beam_search(
         (c_tok, c_par, c_sco, c_fin, sel_tok, sel_par, new_beam_scores, sel_fin) = (
             dispatch_select(cons, cand_lp, cand_tok, beam_scores, step_key)
         )
+        # candidates of tainted (back-filled) parents are ungrounded noise:
+        # the reference records them and relies on the searcher's count
+        # filter (retrieval.py:91); we drop them at the source
+        c_fin = c_fin & ~jnp.take_along_axis(tainted, c_par, axis=-1)
 
         flat_sel = (jnp.arange(B)[:, None] * K + sel_par).reshape(-1)
         new_tokens = tokens[flat_sel]
@@ -505,13 +546,14 @@ def constrained_beam_search(
         new_cache = bart.reorder_cache(new_cache, flat_sel)
 
         par_rows = jnp.arange(B)[:, None]
+        sizes = ops.range_size(lo, hi)
         plo = lo[par_rows, sel_par]
         phi = hi[par_rows, sel_par]
-        new_prev_count = phi - plo
+        new_prev_count = sizes[par_rows, sel_par]
         # EOS/PAD selections terminate the constraint sequence (rows (0,0),
         # beam_search.py:90-93); real tokens extend the parent range.
         sel_finished = (sel_tok == cfg.eos_token_id) | (sel_tok == cfg.pad_token_id)
-        elo, ehi = fm_ops.extend_ranges(index, sel_tok, plo, phi)
+        elo, ehi = ops.extend(sel_tok, plo, phi)
         new_lo = jnp.where(sel_finished, 0, elo)
         new_hi = jnp.where(sel_finished, 0, ehi)
         # carry parent's finished state forward: once finished, stay at (0,0)

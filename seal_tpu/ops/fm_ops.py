@@ -133,16 +133,20 @@ def bwt_at(index: DeviceFMIndex, rows):
 
 
 def window_continuations(index: DeviceFMIndex, lo, hi, window: int):
-    """Continuation tokens in rows [lo, min(hi, lo+window)).
+    """Continuation tokens sampled from rows of [lo, hi).
 
     Returns (tokens [..., window], valid [..., window]).  Exhaustive when
-    ``hi - lo <= window``; a deterministic sample of the interval otherwise.
+    ``hi - lo <= window``; otherwise a *strided* deterministic sample
+    spanning the whole interval (suffix-array order interleaves contexts, so
+    a stride covers far more distinct continuations than a prefix window).
     Invalid/sentinel slots are -1.
     """
     lo = jnp.asarray(lo, jnp.int32)
     hi = jnp.asarray(hi, jnp.int32)
+    size = jnp.maximum(hi - lo, 0)
+    stride = jnp.maximum(size // window, 1)[..., None]
     offs = jnp.arange(window, dtype=jnp.int32)
-    rows = lo[..., None] + offs
+    rows = lo[..., None] + offs * stride
     valid = rows < hi[..., None]
     safe_rows = jnp.where(valid, rows, 0)
     toks = bwt_at(index, safe_rows)

@@ -129,7 +129,9 @@ def reference_generate(
                 score = uncons_flat[idx]
                 hyp_tokens = beams[b][k][0] + [tok]
                 finite = bool(np.isfinite(cons_flat[idx]) and cons_flat[idx] > BIG_NEG / 2)
-                if finite:
+                # like the device implementation, candidates of tainted
+                # (back-filled) parents are suppressed at the source
+                if finite and not (cur_len > 1 and taints[b][k]):
                     hyps[b].append((float(score), hyp_tokens))
                 if tok != eos and len(new_beams) < K:
                     new_beams.append((hyp_tokens, float(score)))

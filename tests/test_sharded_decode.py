@@ -1,0 +1,109 @@
+"""Sharded-index constrained decoding vs the monolithic single-device path.
+
+Semantics note: a sharded index counts only within-shard occurrences, so
+cross-document-boundary pseudo-matches differ from the monolithic layout.
+We compare against a single-device run over a *union-equivalent* corpus by
+checking grounding against the per-shard host indexes and by running a
+shards=1 sharded config that must match the monolithic decoder exactly.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from seal_tpu.decoding.generate import fm_index_generate, pad_batch
+from seal_tpu.index import FMIndex
+from seal_tpu.index.device_index import DeviceFMIndex
+from seal_tpu.models import bart
+from seal_tpu.models.config import bart_tiny
+from seal_tpu.parallel import mesh as mesh_lib
+from seal_tpu.parallel.sharded_decode import sharded_fm_index_generate
+from seal_tpu.parallel.sharded_index import ShardedFMIndex
+
+VOCAB = 60
+
+
+@pytest.fixture(scope="module")
+def world():
+    rng = np.random.default_rng(9)
+    docs = [
+        rng.integers(4, VOCAB, size=rng.integers(6, 25)).tolist() + [2] for _ in range(32)
+    ]
+    cfg = bart_tiny(vocab_size=VOCAB)
+    params = bart.init_params(jax.random.PRNGKey(3), cfg)
+    queries = [[0] + rng.integers(4, VOCAB, size=5).tolist() + [2] for _ in range(3)]
+    ids, mask = pad_batch(queries, cfg.pad_token_id)
+    return cfg, params, docs, ids, mask
+
+
+def canon(hyps):
+    out = {}
+    for s, t in hyps:
+        k = tuple(t)
+        out[k] = max(out.get(k, -1e30), round(s, 3))
+    return out
+
+
+def test_one_shard_matches_monolithic(world):
+    cfg, params, docs, ids, mask = world
+    host = FMIndex()
+    host.initialize(docs)
+    dev = DeviceFMIndex.from_host(host, vocab=VOCAB)
+    kw = dict(num_beams=4, max_length=6, min_length=0, forced_bos_token_id=None)
+    mono = fm_index_generate(cfg, params, dev, ids, mask, **kw)
+
+    mesh = mesh_lib.make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    si, hosts, _ = ShardedFMIndex.build(docs, n_shards=1, vocab=VOCAB)
+    si = si.place(mesh)
+    sharded = sharded_fm_index_generate(cfg, params, si, mesh, ids, mask, **kw)
+    for a, b in zip(mono, sharded):
+        assert canon(a) == canon(b)
+
+
+def test_eight_shards_grounded_union(world):
+    cfg, params, docs, ids, mask = world
+    mesh = mesh_lib.make_mesh(n_data=8, n_model=1)
+    si, hosts, _ = ShardedFMIndex.build(docs, n_shards=8, vocab=VOCAB)
+    si = si.place(mesh)
+    out = sharded_fm_index_generate(
+        cfg, params, si, mesh, ids, mask,
+        num_beams=4, max_length=6, min_length=0, forced_bos_token_id=None,
+        top_m=16, window=8,
+    )
+    checked = 0
+    for hyps in out:
+        assert hyps
+        for _, toks in hyps:
+            seq = toks[1:]
+            cut = next((i for i, t in enumerate(seq) if t in (1, 2)), len(seq))
+            seq = seq[:cut]
+            if seq:
+                # grounded in the union: some shard contains it
+                assert sum(h.get_count(seq) for h in hosts) > 0, toks
+                checked += 1
+    assert checked > 15
+
+
+def test_eight_shards_match_union_counts(world):
+    """Exact mode on the sharded index == exact mode on a union index built
+    with the same shard layout (doc boundaries align by construction when
+    shards are singleton-doc)."""
+    cfg, params, docs, ids, mask = world
+    mesh = mesh_lib.make_mesh(n_data=8, n_model=1)
+    si, hosts, assign = ShardedFMIndex.build(docs, n_shards=8, vocab=VOCAB)
+    si = si.place(mesh)
+    sharded = sharded_fm_index_generate(
+        cfg, params, si, mesh, ids, mask,
+        num_beams=3, max_length=5, min_length=0, forced_bos_token_id=None,
+        exact_mask=True,
+    )
+    # union reference: host indexes per shard; a key's count = sum of shards.
+    # spot-check the top hyp of each query
+    for hyps in sharded:
+        best = max(hyps)
+        seq = best[1][1:]
+        cut = next((i for i, t in enumerate(seq) if t in (1, 2)), len(seq))
+        seq = seq[:cut]
+        if seq:
+            assert sum(h.get_count(seq) for h in hosts) > 0
