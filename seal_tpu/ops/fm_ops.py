@@ -77,15 +77,26 @@ def backward_step(index: DeviceFMIndex, token, lo, hi):
 
     Appending ``token`` to a generated sequence == prepending it in the
     reversed corpus == one LF step (reference ``index.py:102-111``).
-    Empty in, empty out.
+    Empty in, empty out.  Both interval bounds search in ONE fused binary
+    search (stacked lanes) -- halves the sequential gather chain, which is
+    the latency-bound part of the constraint step.
     """
     token = jnp.asarray(token, jnp.int32)
+    lo = jnp.asarray(lo, jnp.int32)
+    hi = jnp.asarray(hi, jnp.int32)
     c = token + SHIFT
     valid = (c >= 1) & (c < index.sigma)
     safe_c = jnp.where(valid, c, 0)
     base = index.C[safe_c]
-    new_lo = base + rank(index, safe_c, lo)
-    new_hi = base + rank(index, safe_c, hi)
+    blo = index.C[safe_c]
+    bhi = index.C[safe_c + 1]
+    pos = jnp.stack([jnp.broadcast_to(lo, safe_c.shape),
+                     jnp.broadcast_to(hi, safe_c.shape)], 0)
+    bounds_lo = jnp.stack([blo, blo], 0)
+    bounds_hi = jnp.stack([bhi, bhi], 0)
+    row = _searchsorted_psi(index, bounds_lo, bounds_hi, pos)
+    new_lo = base + (row[0] - blo)
+    new_hi = base + (row[1] - blo)
     new_lo = jnp.where(valid, new_lo, 0)
     new_hi = jnp.where(valid, new_hi, 0)
     new_hi = jnp.maximum(new_lo, new_hi)

@@ -171,3 +171,43 @@ def test_train_cli_end_to_end(tmp_path):
     )
     assert rc == 0
     assert ckpt.latest_step(str(tmp_path / "save")) == 6
+
+
+def test_train_cli_resume(tmp_path):
+    from seal_tpu.cli import train as train_cli
+    from seal_tpu.models.tokenizer import WordVocabTokenizer
+
+    texts = ["alpha beta gamma", "delta epsilon zeta"]
+    tok = WordVocabTokenizer.train([" " + t for t in texts])
+    tok_path = str(tmp_path / "word_vocab.json")
+    tok.save(tok_path)
+    (tmp_path / "train.source").write_text("".join(f" {t} || body\n" for t in texts * 4))
+    (tmp_path / "train.target").write_text("".join(f" {t}\n" for t in texts * 4))
+
+    common = [
+        str(tmp_path / "train"), str(tmp_path / "save"),
+        "--tokenizer", tok_path, "--backbone", "tiny",
+        "--batch_size", "8", "--save_interval", "100", "--log_interval", "100",
+    ]
+    assert train_cli.main(common + ["--max_update", "3"]) == 0
+    assert ckpt.latest_step(str(tmp_path / "save")) == 3
+    assert train_cli.main(common + ["--max_update", "6", "--resume"]) == 0
+    assert ckpt.latest_step(str(tmp_path / "save")) == 6
+
+
+def test_phase_timer():
+    from seal_tpu.utils.profiling import PhaseTimer
+
+    t = PhaseTimer(enabled=True)
+    with t.phase("a"):
+        pass
+    with t.phase("a"):
+        pass
+    with t.phase("b"):
+        pass
+    assert t.counts == {"a": 2, "b": 1}
+    assert "a=" in t.summary() and "b=" in t.summary()
+    t2 = PhaseTimer(enabled=False)
+    with t2.phase("x"):
+        pass
+    assert t2.totals == {}
