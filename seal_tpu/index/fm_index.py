@@ -101,6 +101,18 @@ class FMIndex:
         self.sa = build_suffix_array(self.text)
         self._derive()
 
+    def occurrences(self, ngram: Sequence[int], cap: int, rng: Optional[Tuple[int, int]] = None):
+        """Up to ``cap`` occurrence positions of ``ngram``: (tok_ends, doc_ids)
+        as int64 arrays (reversed-text coordinates; the ranker's stage-1
+        feed).  ``rng`` short-circuits the range computation."""
+        lo, hi = rng if rng is not None else self.get_range(list(ngram))
+        n = min(hi - lo, cap)
+        tok_ends = np.asarray(self.sa[lo : lo + n], dtype=np.int64)
+        doc_ids = (
+            np.searchsorted(np.asarray(self.beginnings, np.int64), tok_ends, side="right") - 1
+        )
+        return tok_ends, doc_ids
+
     def token_count(self, token: int) -> int:
         """O(1) corpus count of a single token (C-array difference); equals
         ``get_count([token])`` without the rank queries."""

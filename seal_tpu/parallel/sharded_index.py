@@ -166,6 +166,71 @@ class ShardedFMIndex:
         )
 
 
+class UnionHostIndex:
+    """Host-side union view over per-shard FMIndexes.
+
+    Presents the subset of the FMIndex API the evidence ranker consumes
+    (counts, occurrences, docs, token stats) with global document ids.
+    Range values are (0, count) surrogates -- only their difference is
+    meaningful, and ``occurrences`` computes per-shard positions itself
+    (offset into a disjoint global position space).
+    """
+
+    def __init__(self, hosts: List[FMIndex], assignments: List[List[int]],
+                 labels: Sequence[str] | None = None):
+        self.hosts = hosts
+        self.assignments = assignments
+        self.labels = list(labels) if labels else None
+        self.offsets = np.cumsum([0] + [h.size() for h in hosts])
+        total_tokens = sum(len(h) for h in hosts)
+        self.beginnings = [0, total_tokens]
+        self.n_sentinels = len(hosts)
+        self.n_docs = sum(h.n_docs for h in hosts)
+        # global doc id -> (shard, local idx)
+        self._where = {}
+        for s, ids in enumerate(assignments):
+            for local, g in enumerate(ids):
+                self._where[g] = (s, local)
+
+    def __len__(self):
+        return self.beginnings[-1]
+
+    def get_count(self, ngram) -> int:
+        return sum(h.get_count(ngram) for h in self.hosts)
+
+    def get_range(self, ngram):
+        return 0, self.get_count(ngram)
+
+    def token_count(self, token: int) -> int:
+        return sum(h.token_count(token) for h in self.hosts)
+
+    def occurrences(self, ngram, cap: int, rng=None):
+        del rng  # surrogate ranges carry no positions; compute per shard
+        ends, docs = [], []
+        remaining = cap
+        for s, h in enumerate(self.hosts):
+            if remaining <= 0:
+                break
+            e, d = h.occurrences(ngram, remaining)
+            if len(e) == 0:
+                continue
+            ends.append(e + int(self.offsets[s]))
+            gmap = np.asarray(self.assignments[s], dtype=np.int64)
+            docs.append(gmap[d])
+            remaining -= len(e)
+        if not ends:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        return np.concatenate(ends), np.concatenate(docs)
+
+    def get_doc(self, doc_index: int):
+        s, local = self._where[doc_index]
+        return self.hosts[s].get_doc(local)
+
+    def get_doc_length(self, doc_index: int) -> int:
+        s, local = self._where[doc_index]
+        return self.hosts[s].get_doc_length(local)
+
+
 def _shard_device_index(si: ShardedFMIndex, s_text, s_sa, s_psi, s_C, s_beg, n_rows):
     """A DeviceFMIndex view of one shard inside shard_map (arrays are the
     per-device blocks; n_rows is the shard's true row count as a traced

@@ -107,6 +107,8 @@ class SEALSearcher:
         title_params=None,
         code_params=None,
         device_index: Optional[DeviceFMIndex] = None,
+        sharded_index=None,  # ShardedFMIndex placed on `mesh` (serving mode)
+        mesh=None,
         **kwargs,
     ):
         self.fm_index = fm_index
@@ -116,11 +118,16 @@ class SEALSearcher:
         self.scorer_params = scorer_params if scorer_params is not None else params
         self.title_params = title_params if title_params is not None else params
         self.code_params = code_params if code_params is not None else params
-        self.device_index = (
-            device_index
-            if device_index is not None
-            else DeviceFMIndex.from_host(fm_index, vocab=model_cfg.vocab_size)
-        )
+        self.sharded_index = sharded_index
+        self.mesh = mesh
+        if sharded_index is not None:
+            self.device_index = device_index  # unused in sharded mode
+        else:
+            self.device_index = (
+                device_index
+                if device_index is not None
+                else DeviceFMIndex.from_host(fm_index, vocab=model_cfg.vocab_size)
+            )
         self.docid2idx = (
             {k: i for i, k in enumerate(fm_index.labels)} if fm_index.labels else {}
         )
@@ -291,6 +298,45 @@ class SEALSearcher:
 
     # ---------------------------------------------------------- key generation
 
+    @classmethod
+    def build_sharded(
+        cls,
+        docs: Sequence[Sequence[int]],
+        labels: Sequence[str],
+        tokenizer,
+        model_cfg: BartConfig,
+        params,
+        n_shards: int,
+        mesh=None,
+        **kwargs,
+    ) -> "SEALSearcher":
+        """Serving mode with the FM-index partitioned over the mesh
+        (BASELINE config 5): generation runs the sharded fused decoder;
+        ranking runs against the union host view."""
+        from seal_tpu.parallel import mesh as mesh_lib
+        from seal_tpu.parallel.sharded_index import ShardedFMIndex, UnionHostIndex
+
+        if mesh is None:
+            mesh = mesh_lib.make_mesh(n_data=n_shards, n_model=1)
+        si, hosts, assignments = ShardedFMIndex.build(
+            docs, n_shards=n_shards, vocab=model_cfg.vocab_size, labels=labels
+        )
+        si = si.place(mesh)
+        union = UnionHostIndex(hosts, assignments, labels=labels)
+        return cls(
+            union, tokenizer, model_cfg, params,
+            sharded_index=si, mesh=mesh, **kwargs,
+        )
+
+    def _generate(self, params, toks, **kw):
+        if self.sharded_index is not None:
+            from seal_tpu.parallel.sharded_decode import sharded_fm_index_generate
+
+            return sharded_fm_index_generate(
+                self.model_cfg, params, self.sharded_index, self.mesh, toks, **kw
+            )
+        return fm_index_generate(self.model_cfg, params, self.device_index, toks, **kw)
+
     def _tokenize_batch(self, texts: Sequence[str]) -> List[List[int]]:
         limit = self.model_cfg.max_position_embeddings
         return [self.tokenizer.encode(t)[:limit] for t in texts]
@@ -311,10 +357,6 @@ class SEALSearcher:
         seqs = list(seqs)
         if not seqs:
             return []
-        if not hasattr(self, "_jit_ranges"):
-            self._jit_ranges = jax.jit(
-                lambda idx, t, l: fm_ops.range_for_sequences(idx, t, l)
-            )
         n = len(seqs)
         np_b = 1 << max(5, (n - 1).bit_length())
         L = max(len(s) for s in seqs)
@@ -324,6 +366,18 @@ class SEALSearcher:
         for i, s in enumerate(seqs):
             toks[i, : len(s)] = s
             lens[i] = len(s)
+        if self.sharded_index is not None:
+            from seal_tpu.parallel.sharded_index import sharded_count_sequences
+
+            counts = np.asarray(
+                sharded_count_sequences(self.sharded_index, self.mesh, toks, lens)
+            )[:n]
+            # (0, count) surrogate ranges: only the difference is meaningful
+            return [(0, int(c)) for c in counts]
+        if not hasattr(self, "_jit_ranges"):
+            self._jit_ranges = jax.jit(
+                lambda idx, t, l: fm_ops.range_for_sequences(idx, t, l)
+            )
         lo, hi = self._jit_ranges(self.device_index, toks, lens)
         lo = np.asarray(lo)[:n]
         hi = np.asarray(hi)[:n]
@@ -398,10 +452,8 @@ class SEALSearcher:
         if self.decode_body:
             batch_str = self._marked(inputs, "body")
             toks = self._tokenize_batch(batch_str)
-            raw = fm_index_generate(
-                self.model_cfg,
+            raw = self._generate(
                 self.params,
-                self.device_index,
                 toks,
                 min_length=self.length,
                 max_length=self.length,
@@ -440,10 +492,8 @@ class SEALSearcher:
         if self.decode_titles:
             batch_str = self._marked(inputs, "title")
             toks = self._tokenize_batch(batch_str)
-            raw = fm_index_generate(
-                self.model_cfg,
+            raw = self._generate(
                 self.title_params,
-                self.device_index,
                 toks,
                 min_length=1,
                 max_length=15,
@@ -482,10 +532,8 @@ class SEALSearcher:
         if self.decode_code:
             batch_str = self._marked(inputs, "code")
             toks = self._tokenize_batch(batch_str)
-            raw = fm_index_generate(
-                self.model_cfg,
+            raw = self._generate(
                 self.code_params,
-                self.device_index,
                 toks,
                 min_length=1,
                 max_length=15,

@@ -388,8 +388,7 @@ def aggregate_evidence(
     covered_points = set()
     first_stage: Dict[int, list] = defaultdict(lambda: [0.0, [], [[], 0.0]])
 
-    beginnings_arr = np.asarray(index.beginnings, dtype=np.int64)
-    n_corpus = int(index.beginnings[-1])
+    n_corpus = int(index.beginnings[-1]) + getattr(index, "n_sentinels", 1)
     covered = np.zeros(n_corpus + 2, dtype=np.uint8)  # vectorized covered_points
     try:
         from seal_tpu.cpp import native as _native
@@ -407,14 +406,14 @@ def aggregate_evidence(
             return flags
 
     for ngram, sco in rare_ngrams.items():
-        lo, hi = get_range_cached(tuple(ngram))
-        n_rows = min(hi - lo, max_occurrences_1)
         # vectorized locate (SA slice) + doc lookup for the whole interval
         # (the reference walks a sampled SA per row, keys.py:320-326); spans
         # with tok_start < 0 (reference pseudo-spans at the corpus edge,
         # keys.py:322-325) are clamped to 0
-        tok_ends = np.asarray(index.sa[lo : lo + n_rows], dtype=np.int64)
-        doc_ids = np.searchsorted(beginnings_arr, tok_ends, side="right") - 1
+        tok_ends, doc_ids = index.occurrences(
+            list(ngram), max_occurrences_1, rng=ranges_pre.get(tuple(ngram))
+        )
+        n_rows = len(tok_ends)
         new_flags = claim(covered, tok_ends, len(ngram))
 
         if sort_by_length:

@@ -1,0 +1,107 @@
+"""Full search pipeline against a mesh-sharded index (BASELINE config 5)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from seal_tpu.index import FMIndex
+from seal_tpu.models import bart
+from seal_tpu.models.config import bart_tiny
+from seal_tpu.models.tokenizer import WordVocabTokenizer
+from seal_tpu.parallel.sharded_index import UnionHostIndex, ShardedFMIndex
+from seal_tpu.retrieval.searcher import SEALSearcher
+
+CORPUS = [
+    ("d0", "Soup", "You can eat soup with a spoon but eating soup with a fork is hard."),
+    ("d1", "Forks", "A fork is a utensil with tines used for spearing solid food."),
+    ("d2", "Bicycles", "A bicycle has two wheels and is propelled by pedals."),
+    ("d3", "Rivers", "A river is a natural stream of fresh water flowing toward an ocean."),
+    ("d4", "Chess", "Chess is a board game for two players with sixteen pieces each."),
+]
+
+
+@pytest.fixture(scope="module")
+def world():
+    rng = np.random.default_rng(0)
+    filler_words = [f"word{i}" for i in range(80)]
+    filler = [
+        (f"f{i}", f"Filler{i}", " ".join(rng.choice(filler_words, size=30)))
+        for i in range(19)  # 24 docs total -> 3 per shard on 8 shards
+    ]
+    corpus = CORPUS + filler
+    texts = [f"{t} @@ {b}" for _, t, b in corpus]
+    labels = [d for d, _, _ in corpus]
+    tok = WordVocabTokenizer.train([" " + t for t in texts], max_vocab=500)
+    docs = [tok.encode_plain(" " + t) + [tok.eos_token_id] for t in texts]
+    cfg = bart_tiny(vocab_size=tok.vocab_size)
+    params = bart.init_params(jax.random.PRNGKey(0), cfg)
+    import jax.numpy as jnp
+
+    bias = np.zeros(cfg.vocab_size, np.float32)
+    for _, title, body in CORPUS:
+        for t in tok.encode_plain(" " + title + " " + body.lower()) + tok.encode_plain(" " + body):
+            bias[t] = 8.0
+    params = dict(params)
+    params["final_logits_bias"] = jnp.asarray(bias)
+    return corpus, texts, labels, tok, docs, cfg, params
+
+
+def test_union_host_index(world):
+    corpus, texts, labels, tok, docs, cfg, params = world
+    mono = FMIndex()
+    mono.initialize(docs, labels=labels)
+    si, hosts, assign = ShardedFMIndex.build(docs, n_shards=4, vocab=cfg.vocab_size,
+                                            labels=labels)
+    union = UnionHostIndex(hosts, assign, labels=labels)
+    assert len(union) == len(mono)
+    assert union.n_docs == mono.n_docs
+    for g in range(len(docs)):
+        assert union.get_doc(g) == mono.get_doc(g)
+        assert union.get_doc_length(g) == mono.get_doc_length(g)
+    rng = np.random.default_rng(1)
+    for _ in range(20):
+        d = docs[int(rng.integers(0, len(docs)))]
+        i = int(rng.integers(0, len(d) - 2))
+        pat = d[i : i + 2]
+        # within-doc patterns: union count == monolithic count
+        assert union.get_count(pat) == sum(h.get_count(pat) for h in hosts)
+        ends, gdocs = union.occurrences(pat, 100)
+        assert len(ends) == union.get_count(pat)
+        # every reported doc actually contains the pattern
+        for g in set(gdocs.tolist()):
+            doc_toks = union.get_doc(int(g))
+            assert any(
+                doc_toks[j : j + 2] == pat for j in range(len(doc_toks) - 1)
+            )
+    assert union.token_count(docs[0][0]) == sum(h.token_count(docs[0][0]) for h in hosts)
+
+
+def test_sharded_search_finds_right_docs(world):
+    corpus, texts, labels, tok, docs, cfg, params = world
+    searcher = SEALSearcher.build_sharded(
+        docs, labels, tok, cfg, params, n_shards=8,
+        backbone="word-vocab", beam=4, length=4, batch_size=4,
+        exact_mask=True, decode_body=False, decode_titles=False,
+        unigram_scores=False,
+    )
+    res = searcher.batch_search(
+        ["eating soup with a fork", "two wheels pedals bicycle"], k=3
+    )
+    assert res[0][0].docid == "d0"
+    assert res[1][0].docid == "d2"
+    title, _ = res[0][0].text()
+    assert "Soup" in title
+
+
+def test_sharded_generation_keys_grounded(world):
+    corpus, texts, labels, tok, docs, cfg, params = world
+    searcher = SEALSearcher.build_sharded(
+        docs, labels, tok, cfg, params, n_shards=8,
+        backbone="word-vocab", beam=4, length=4, batch_size=2,
+        exact_mask=True, decode_titles=False, unigram_scores=False,
+    )
+    keys = searcher.generate_keys("eat soup with a fork")
+    assert keys
+    for ngram, score in keys:
+        assert searcher.fm_index.get_count(list(ngram)) > 0
