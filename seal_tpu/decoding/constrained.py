@@ -34,7 +34,6 @@ reference semantics (used by parity tests and available for small corpora).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Optional, Tuple
 
 import jax

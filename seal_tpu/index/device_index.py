@@ -26,9 +26,12 @@ from seal_tpu.index.fm_index import FMIndex, SHIFT
 
 @struct.dataclass
 class DeviceFMIndex:
-    text: Any  # int32 [N]   shifted symbols, sentinel (0) last
-    sa: Any  # int32 [N]
+    text: Any  # int32/uint16 [N]   shifted symbols, sentinel (0) last
+    sa: Any  # int32 [N] or None (only `locate` needs it on device)
     psi: Any  # int32 [N]
+    bwt: Any  # int32/uint16 [N] shifted BWT symbols, or None (derived from
+    #   text+sa when absent; storing it explicitly lets `sa` be dropped:
+    #   8 bytes/token instead of 10)
     C: Any  # int32 [sigma+1]  C[v] = #symbols < v
     beginnings: Any  # int32 [n_docs+1]  doc start offsets (token space)
     corpus_counts: Any  # int32 [vocab]  step-1 continuation counts by token id
@@ -55,7 +58,11 @@ class DeviceFMIndex:
 
     @classmethod
     def from_host(
-        cls, index: FMIndex, vocab: int | None = None, compact: bool = True
+        cls,
+        index: FMIndex,
+        vocab: int | None = None,
+        compact: bool = True,
+        keep_sa: bool = True,
     ) -> "DeviceFMIndex":
         """Ship a host-built index to device arrays.
 
@@ -78,7 +85,8 @@ class DeviceFMIndex:
         text_dtype = jnp.uint16 if (compact and sigma < 2**16) else jnp.int32
         return cls(
             text=jnp.asarray(index.text, dtype=text_dtype),
-            sa=jnp.asarray(index.sa, dtype=jnp.int32),
+            sa=jnp.asarray(index.sa, dtype=jnp.int32) if keep_sa else None,
+            bwt=jnp.asarray(index.bwt, dtype=text_dtype),
             psi=jnp.asarray(index.psi, dtype=jnp.int32),
             C=jnp.asarray(index.C, dtype=jnp.int32),
             beginnings=jnp.asarray(index.beginnings, dtype=jnp.int32),

@@ -134,13 +134,15 @@ def count_sequences(index: DeviceFMIndex, tokens, lengths):
 def bwt_at(index: DeviceFMIndex, rows):
     """BWT symbols at the given rows, *unshifted* (sentinel -> -1).
 
-    bwt[r] = text[(sa[r] - 1) mod N]; computed with two gathers instead of
-    storing an explicit BWT array.
+    Uses the explicit BWT array when present (one gather; lets the index
+    drop ``sa``), else bwt[r] = text[(sa[r] - 1) mod N] with two gathers.
     """
     rows = jnp.asarray(rows, jnp.int32)
+    if getattr(index, "bwt", None) is not None:
+        return index.bwt[rows].astype(jnp.int32) - SHIFT
     prev = index.sa[rows] - 1
     prev = jnp.where(prev < 0, index.n_rows - 1, prev)
-    return index.text[prev] - SHIFT
+    return index.text[prev].astype(jnp.int32) - SHIFT
 
 
 def window_continuations(index: DeviceFMIndex, lo, hi, window: int):

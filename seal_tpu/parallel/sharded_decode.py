@@ -127,7 +127,7 @@ def _jitted_sharded_search(model_cfg, dcfg: DecodeConfig, mesh: Mesh, statics):
 
     def per_shard(text, sa, psi, C, beg, n_rows, counts, params, ids, mask, key):
         dev = DeviceFMIndex(
-            text=text[0], sa=sa[0], psi=psi[0], C=C[0], beginnings=beg[0],
+            text=text[0], sa=sa[0], psi=psi[0], bwt=None, C=C[0], beginnings=beg[0],
             corpus_counts=counts,
             n_rows=n_rows_pad, sigma=sigma, vocab=vocab, n_docs=n_docs_pad,
             search_iters=search_iters,

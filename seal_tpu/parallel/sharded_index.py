@@ -133,6 +133,7 @@ class ShardedFMIndex:
             text=self.text[s],
             sa=self.sa[s],
             psi=self.psi[s],
+            bwt=None,
             C=self.C[s],
             beginnings=self.beginnings[s],
             corpus_counts=self.corpus_counts,
@@ -239,6 +240,7 @@ def _shard_device_index(si: ShardedFMIndex, s_text, s_sa, s_psi, s_C, s_beg, n_r
         text=s_text,
         sa=s_sa,
         psi=s_psi,
+        bwt=None,
         C=s_C,
         beginnings=s_beg,
         corpus_counts=si.corpus_counts,

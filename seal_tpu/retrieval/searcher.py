@@ -126,7 +126,10 @@ class SEALSearcher:
             self.device_index = (
                 device_index
                 if device_index is not None
-                else DeviceFMIndex.from_host(fm_index, vocab=model_cfg.vocab_size)
+                # decode never locates on device; dropping SA saves 4 B/token
+                else DeviceFMIndex.from_host(
+                    fm_index, vocab=model_cfg.vocab_size, keep_sa=False
+                )
             )
         self.docid2idx = (
             {k: i for i, k in enumerate(fm_index.labels)} if fm_index.labels else {}

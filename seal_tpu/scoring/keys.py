@@ -385,7 +385,6 @@ def aggregate_evidence(
     )
 
     # ---- stage 1: rare-ngram occurrence sampling (keys.py:311-364) -------
-    covered_points = set()
     first_stage: Dict[int, list] = defaultdict(lambda: [0.0, [], [[], 0.0]])
 
     n_corpus = int(index.beginnings[-1]) + getattr(index, "n_sentinels", 1)
