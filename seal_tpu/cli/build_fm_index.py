@@ -59,9 +59,8 @@ def preprocess(args, rows):
         if args.tokenize:
             title = " ".join(word_tokenize(title))
             text = " ".join(word_tokenize(text))
-        title = f"{title} {args.delim}"
         if args.include_title and title:
-            text = f"{title} {text}"
+            text = f"{title} {args.delim} {text}"
         if args.lowercase:
             text = text.lower()
         yield idx, text

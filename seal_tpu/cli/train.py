@@ -79,7 +79,8 @@ def main(argv=None):
     parser.add_argument("--log_interval", type=int, default=100)
     parser.add_argument("--epochs", type=int, default=1000)
     parser.add_argument("--seed", type=int, default=1)
-    parser.add_argument("--bf16", action="store_true", default=True)
+    parser.add_argument("--fp32", dest="bf16", action="store_false",
+                        help="train in float32 (default: bfloat16 compute)")
     parser.add_argument("--tensor_parallel", type=int, default=1)
     parser.add_argument("--resume", action="store_true")
     args = parser.parse_args(argv)

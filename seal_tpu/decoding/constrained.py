@@ -196,11 +196,13 @@ def _candidates_general(
     # approx_max_k rides the TPU's hardware top-k path (~2-3x faster than
     # exact top_k at V=50k); a missed candidate only shrinks the speculative
     # proposal set, never produces an invalid key (everything is validated)
-    top_lp, top_tok = lax.approx_max_k(lp, cfg.top_m, recall_target=0.95)
     if cfg.disable_fm_index:
+        # free generation must reproduce exact beam search: use exact top-k
+        top_lp, top_tok = lax.top_k(lp, cfg.top_m)
         tokens = top_tok.astype(jnp.int32)
         fm_valid = jnp.ones(tokens.shape, bool)
         return _apply_branches(cfg, tokens, fm_valid, top_lp, prev_count, finished)
+    top_lp, top_tok = lax.approx_max_k(lp, cfg.top_m, recall_target=0.95)
 
     top_counts = ops.validate(top_tok.astype(jnp.int32), lo, hi)
     # --- exhaustive small-interval window --------------------------------
@@ -240,7 +242,7 @@ def _apply_branches(cfg: DecodeConfig, tokens, fm_valid, cand_lp, prev_count, fi
     return tokens, allowed, cand_lp
 
 
-def _dedup_mask(tokens, scores):
+def _dedup_mask(tokens):
     """Within each beam's candidate list, keep one instance per token id.
 
     Duplicate instances of a token carry identical scores, so dropping all
@@ -478,6 +480,9 @@ def constrained_beam_search(
         cons0 = lp
     else:
         corpus_mask = ops.corpus_mask()  # occurring_distinct parity
+        if cfg.always_allow_eos:
+            # reference unmasks EOS after every branch (beam_search.py:137-138)
+            corpus_mask = corpus_mask.at[cfg.eos_token_id].set(True)
         cons0 = jnp.where(corpus_mask[None, None, :], lp, NEG_INF)
     tokens_all = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32), (B, K, V))
     rng_key, key0 = jax.random.split(rng_key)
@@ -526,7 +531,7 @@ def constrained_beam_search(
         if not (cfg.exact_mask or cfg.disable_fm_index):
             # speculative candidates can repeat a token (top-M vs window);
             # duplicates carry identical scores, keep one per token id
-            keep = _dedup_mask(cand_tok, cons)
+            keep = _dedup_mask(cand_tok)
             cons = jnp.where(keep, cons, NEG_INF)
 
         (c_tok, c_par, c_sco, c_fin, sel_tok, sel_par, new_beam_scores, sel_fin) = (

@@ -62,5 +62,5 @@ def bart_tiny(vocab_size: int = 128) -> BartConfig:
         encoder_ffn_dim=64,
         decoder_ffn_dim=64,
         max_position_embeddings=64,
-        mask_token_id=vocab_size - 1,
+        mask_token_id=None,  # test/word-vocab backbones have no <mask>
     )

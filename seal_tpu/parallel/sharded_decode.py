@@ -176,6 +176,8 @@ def sharded_fm_index_generate(
     if attention_mask is None:
         attention_mask = (np.asarray(input_ids) != model_cfg.pad_token_id).astype(np.int32)
 
+    kwargs.pop("length_penalty", None)  # parity no-ops (see fm_index_generate)
+    kwargs.pop("keep_history", None)
     seed = kwargs.pop("seed", 0)
     eos = kwargs.pop("eos_token_id", None)
     forced_bos = kwargs.pop("forced_bos_token_id", model_cfg.forced_bos_token_id)

@@ -701,11 +701,14 @@ class SEALSearcher:
             results, keysets = zip(*self.batch_retrieve_from_keys(keys_it))
 
         key_texts: Dict[tuple, Tuple[str, int]] = {}
-        uniq_keys = list({key for kk in keysets for key in kk})
-        if uniq_keys:
-            key_counts = self._device_counts([list(k) for k in uniq_keys])
-            for key, cnt in zip(uniq_keys, key_counts):
-                key_texts[key] = (self.tokenizer.decode(list(key)), cnt)
+        if self.include_keys:
+            # (the reference decodes+counts every key unconditionally,
+            # retrieval.py:662-664; only include_keys consumers read them)
+            uniq_keys = list({key for kk in keysets for key in kk})
+            if uniq_keys:
+                key_counts = self._device_counts([list(k) for k in uniq_keys])
+                for key, cnt in zip(uniq_keys, key_counts):
+                    key_texts[key] = (self.tokenizer.decode(list(key)), cnt)
 
         retrieved = []
         for query, res in zip(queries, results):

@@ -95,12 +95,12 @@ def extract_spans(
         indices, weights = zip(*sorted(matches.items(), key=lambda x: -x[1]))
         weights = list(weights)
         if sum(weights) == 0.0:
-            indices = [0]
+            indices, weights = [0], [1.0]
         else:
             weights = [math.exp(float(w) / temperature) for w in weights]
             z = sum(weights)
             weights = [w / z for w in weights]
-            indices = rng.choices(indices, weights=weights, k=n_samples)
+        indices = rng.choices(indices, weights=weights, k=n_samples)
 
     for i in indices:
         size = rng.randint(min_length, max_length)

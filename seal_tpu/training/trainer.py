@@ -66,7 +66,7 @@ def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
     )
 
 
-def loss_fn(model_cfg: BartConfig, params, batch):
+def loss_fn(model_cfg: BartConfig, params, batch, label_smoothing: float = 0.1):
     """batch: src_ids, src_mask, tgt_in (decoder inputs), tgt_out (labels)."""
     enc = bart.encode(model_cfg, params, batch["src_ids"], batch["src_mask"])
     logits = bart.decode_full(
@@ -74,7 +74,7 @@ def loss_fn(model_cfg: BartConfig, params, batch):
         decoder_mask=batch.get("tgt_mask"),
     )
     loss, ntok = label_smoothed_nll(
-        logits, batch["tgt_out"], model_cfg.pad_token_id, 0.1
+        logits, batch["tgt_out"], model_cfg.pad_token_id, label_smoothing
     )
     return loss
 
@@ -83,7 +83,9 @@ def make_train_step(model_cfg: BartConfig, tcfg: TrainConfig, optimizer=None):
     optimizer = optimizer or make_optimizer(tcfg)
 
     def train_step(params, opt_state, batch):
-        loss, grads = jax.value_and_grad(partial(loss_fn, model_cfg))(params, batch)
+        loss, grads = jax.value_and_grad(
+            partial(loss_fn, model_cfg, label_smoothing=tcfg.label_smoothing)
+        )(params, batch)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

@@ -164,13 +164,25 @@ def test_fairseq_conversion_shape():
 
 
 def test_apply_seal_logits_bias():
-    cfg = bart_tiny(vocab_size=50)
+    import dataclasses
+
+    # tiny/word-vocab configs default mask_token_id=None (no <mask> token);
+    # pin one here to exercise the full reference hack
+    cfg = dataclasses.replace(bart_tiny(vocab_size=50), mask_token_id=49)
     params = bart.init_params(jax.random.PRNGKey(0), cfg)
     params = convert.apply_seal_logits_bias(params, cfg)
     bias = np.asarray(params["final_logits_bias"])
     assert bias[cfg.pad_token_id] == -np.inf
     assert bias[cfg.bos_token_id] == -np.inf
     assert bias[cfg.mask_token_id] == -np.inf
+    # None mask id: pad/bos still banned, nothing else touched
+    cfg2 = bart_tiny(vocab_size=50)
+    params2 = convert.apply_seal_logits_bias(
+        bart.init_params(jax.random.PRNGKey(0), cfg2), cfg2
+    )
+    bias2 = np.asarray(params2["final_logits_bias"])
+    assert bias2[cfg2.pad_token_id] == -np.inf
+    assert np.isfinite(bias2[49])
     src = np.array([[3, 4, 5]]); mask = np.ones((1, 3), np.int64)
     enc = bart.encode(cfg, params, jnp.asarray(src), jnp.asarray(mask))
     logits = bart.decode_full(cfg, params, enc, jnp.asarray(mask), jnp.asarray([[2, 3]]))
