@@ -33,6 +33,10 @@ from seal_tpu.scoring import keys as rk
 
 logger = logging.getLogger(__name__)
 
+# parity: reference module-level debug switch printing scored ngrams
+# (retrieval.py:37,751-753)
+DEBUG = False
+
 # searcher registry for forked aggregation workers (the reference smuggles
 # the searcher through a __main__ global, retrieval.py:762-775)
 _MP_REGISTRY: Dict[int, "SEALSearcher"] = {}
@@ -657,13 +661,18 @@ class SEALSearcher:
             single_key=self.single_key,
             unigrams_ignore_free_places=self.unigrams_ignore_free_places,
         )
+        if DEBUG:
+            for n, sc in ngrams.items():
+                print(sc, self.tokenizer.decode(list(n)))
         return results, ngrams
 
     def batch_retrieve_from_keys(self, keys):
         if self.jobs >= 2:
             yield from self._mp_batch_retrieve_from_keys(keys)
         else:
-            for kk in keys:
+            for i, kk in enumerate(keys):
+                if self.print_n_doc:
+                    print(i)
                 yield self.retrieve_from_keys(kk)
 
     def _mp_batch_retrieve_from_keys(self, keys):
