@@ -96,6 +96,40 @@ class FMIndex:
         if labels is not None:
             self.labels = list(labels)
 
+    def initialize_from_arrays(
+        self,
+        flat_tokens: np.ndarray,
+        doc_lengths: np.ndarray,
+        labels: Optional[List[str]] = None,
+    ) -> None:
+        """Vectorized build from a flat token array + per-doc lengths.
+
+        Equivalent to ``initialize`` but without per-document Python loops --
+        the practical path for 100M+-token corpora (the reverse/shift/concat
+        becomes one scatter; the suffix sort dominates, as it should).
+        """
+        flat = np.ascontiguousarray(flat_tokens, dtype=np.int64).ravel()
+        lens = np.ascontiguousarray(doc_lengths, dtype=np.int64).ravel()
+        if lens.min() <= 0:
+            raise ValueError("empty documents are not supported")
+        total = int(lens.sum())
+        if flat.size != total:
+            raise ValueError(f"flat tokens ({flat.size}) != sum of lengths ({total})")
+        if flat.min() < 0:
+            raise ValueError("token ids must be non-negative")
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        self.beginnings = [0] + ends.tolist()
+        doc_of = np.repeat(np.arange(lens.size), lens)
+        off = np.arange(total) - starts[doc_of]
+        out_pos = starts[doc_of] + (lens[doc_of] - 1 - off)
+        text = np.zeros(total + 1, dtype=np.int32)
+        text[out_pos] = flat + SHIFT
+        self.occurring = np.unique(flat).tolist()
+        self._finish_build(text)
+        if labels is not None:
+            self.labels = list(labels)
+
     def _finish_build(self, text: np.ndarray) -> None:
         self.text = np.ascontiguousarray(text, dtype=np.int32)
         self.sa = build_suffix_array(self.text)

@@ -192,3 +192,27 @@ def test_extract_text_order(rng):
     # text = reversed doc + sentinel = [8,7,6,5,0] shifted by 1
     assert index.extract_text(0, 4) == [5 + SHIFT, 6 + SHIFT, 7 + SHIFT, 8 + SHIFT]
     assert index.get_doc(0) == [5, 6, 7, 8]
+
+
+def test_initialize_from_arrays_matches_initialize(rng):
+    docs = random_docs(rng, n_docs=15)
+    a = FMIndex()
+    a.initialize(docs, labels=[f"d{i}" for i in range(len(docs))])
+    b = FMIndex()
+    flat = np.concatenate([np.asarray(d) for d in docs])
+    lens = np.array([len(d) for d in docs])
+    b.initialize_from_arrays(flat, lens, labels=[f"d{i}" for i in range(len(docs))])
+    np.testing.assert_array_equal(a.text, b.text)
+    assert a.beginnings == b.beginnings
+    assert sorted(a.occurring) == sorted(b.occurring)
+    assert a.labels == b.labels
+    for i in range(len(docs)):
+        assert b.get_doc(i) == docs[i]
+
+
+def test_initialize_from_arrays_validation():
+    idx = FMIndex()
+    with pytest.raises(ValueError):
+        idx.initialize_from_arrays(np.array([1, 2]), np.array([1, 0, 1]))
+    with pytest.raises(ValueError):
+        idx.initialize_from_arrays(np.array([1, 2, 3]), np.array([2]))
