@@ -1,4 +1,4 @@
-"""Benchmark: constrained key-generation throughput (queries/sec/chip).
+"""Benchmark: constrained key-generation throughput (queries/sec/chip) + MFU.
 
 Measures the system's hot path -- FM-index-constrained beam search over
 BART-large at the reference's NQ operating point (beam 15, body-key length
@@ -7,21 +7,84 @@ slice (10k docs, ~1.2M tokens, BART vocab) with randomly initialized
 weights (no network access for checkpoints; throughput is
 weight-independent).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "mfu", ...}.
 
 ``vs_baseline`` compares against 2.0 queries/sec -- our pinned estimate of
 the reference stack's key-generation throughput at the same operating point
 (the repo publishes no number, BASELINE.md: per decode step the reference
 pays a GPU forward over 300 rows plus a host round-trip through
 Python->SWIG->sdsl per beam; ~300-500ms/step x 9 steps / batch 20).
+
+Resilience: the axon tunnel occasionally drops a remote-compile response
+mid-read (round-1 failure, BENCH_r01.json). Every device call is retried,
+and the JSON line is emitted from however many timed iterations survived.
 """
 
 import json
-import os
 import sys
 import time
+import traceback
 
 import numpy as np
+
+# Approximate peak dense bf16 FLOP/s per chip, by device_kind substring.
+_PEAK_FLOPS = [
+    ("v5 lite", 197e12),
+    ("v5e", 197e12),
+    ("v5p", 459e12),
+    ("v6e", 918e12),
+    ("v6 lite", 918e12),
+    ("v4", 275e12),
+    ("v3", 123e12),
+    ("v2", 45e12),
+]
+
+
+def _peak_flops(device) -> float | None:
+    kind = getattr(device, "device_kind", "").lower()
+    for key, peak in _PEAK_FLOPS:
+        if key in kind:
+            return peak
+    return None
+
+
+def decode_flops(cfg, batch: int, beam: int, src_len: int, steps: int) -> float:
+    """Analytic forward-FLOPs of one ``fm_index_generate`` call.
+
+    Mirrors the jitted computation (seal_tpu/decoding/constrained.py):
+    encoder over [B, Lsrc], cross-KV precompute over the beam-tiled
+    [B*K, Lsrc] rows, then ``steps`` cached decoder steps over [B*K, 1]
+    with the vocab-logit matmul. Matmul-only (2 FLOPs per MAC); elementwise
+    and index-kernel work excluded -- the MFU reported is therefore a
+    slight underestimate.
+    """
+    d, f, v = cfg.d_model, cfg.encoder_ffn_dim, cfg.vocab_size
+    n_enc, n_dec = cfg.encoder_layers, cfg.decoder_layers
+    rows = batch * beam
+
+    # Encoder: per token per layer QKVO (8d^2) + scores/AV (4*d*Lsrc) + FFN.
+    enc = batch * src_len * n_enc * (8 * d * d + 4 * d * src_len + 4 * d * f)
+    # Cross-KV precompute over beam-tiled encoder output: K,V proj per layer.
+    cross_kv = rows * src_len * n_dec * (4 * d * d)
+    # Decoder steps: self QKVO + self scores (avg cache len ~steps/2) +
+    # cross Q,O + cross scores + FFN, then the vocab projection.
+    per_tok = n_dec * (
+        8 * d * d + 4 * d * (steps / 2) + 4 * d * d + 4 * d * src_len + 4 * d * f
+    )
+    dec = rows * steps * (per_tok + 2 * d * v)
+    return float(enc + cross_kv + dec)
+
+
+def _retry(fn, attempts=3, label=""):
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception:
+            if i == attempts - 1:
+                raise
+            print(f"# retrying {label} after error:", file=sys.stderr)
+            traceback.print_exc(limit=1, file=sys.stderr)
+            time.sleep(5.0 * (i + 1))
 
 
 def main():
@@ -49,11 +112,11 @@ def main():
     host = FMIndex()
     host.initialize(docs)
     build_s = time.time() - t0
-    index = DeviceFMIndex.from_host(host, vocab=vocab)
+    index = _retry(lambda: DeviceFMIndex.from_host(host, vocab=vocab), label="index ship")
 
     # ---- model: BART-large, bf16 compute ---------------------------------
     cfg = dataclasses.replace(bart_large(), dtype="bfloat16")
-    params = bart.init_params(jax.random.PRNGKey(0), cfg)
+    params = _retry(lambda: bart.init_params(jax.random.PRNGKey(0), cfg), label="init")
     params = convert.apply_seal_logits_bias(params, cfg)
 
     # ---- queries: batch 32, beam 15, length 10 ---------------------------
@@ -71,15 +134,30 @@ def main():
         )
 
     t0 = time.time()
-    out = run()  # compile + run
+    out = _retry(run, attempts=4, label="compile+first run")
     compile_s = time.time() - t0
 
-    n_iters = 3
-    t0 = time.time()
-    for _ in range(n_iters):
-        out = run()
-    elapsed = time.time() - t0
-    qps = batch * n_iters / elapsed
+    # Timed iterations, each individually retried; keep whatever survives.
+    n_iters, times = 3, []
+    for i in range(n_iters):
+        try:
+            t0 = time.time()
+            out = _retry(run, attempts=2, label=f"iter {i}")
+            times.append(time.time() - t0)
+        except Exception:
+            print(f"# iter {i} failed permanently; reporting partial", file=sys.stderr)
+            traceback.print_exc(limit=3, file=sys.stderr)
+            break
+    if not times:  # fall back to the (compile-inflated) first run
+        times = [compile_s]
+
+    per_batch = float(np.median(times))
+    qps = batch / per_batch
+
+    # MFU: analytic model FLOPs per call / elapsed / chip peak.
+    flops = decode_flops(cfg, batch, beam, ids.shape[1], length)
+    peak = _peak_flops(dev)
+    mfu = round(flops / per_batch / peak, 4) if peak else None
 
     n_keys = sum(len(h) for h in out)
     baseline_qps = 2.0  # BASELINE.md: pinned estimate of the reference stack
@@ -88,12 +166,15 @@ def main():
         "value": round(qps, 3),
         "unit": "queries/sec",
         "vs_baseline": round(qps / baseline_qps, 2),
+        "mfu": mfu,
+        "model_tflops_per_query": round(flops / batch / 1e12, 3),
+        "timed_iters": len(times),
     }
     print(json.dumps(result))
     print(
         f"# details: compile={compile_s:.1f}s index_build={build_s:.1f}s "
         f"corpus={len(host)} tokens keys/query={n_keys / batch:.0f} "
-        f"steady={elapsed / n_iters:.2f}s/batch-of-{batch}",
+        f"steady={per_batch:.2f}s/batch-of-{batch} device={getattr(dev, 'device_kind', '?')}",
         file=sys.stderr,
     )
 
