@@ -115,8 +115,20 @@ def main():
     index = _retry(lambda: DeviceFMIndex.from_host(host, vocab=vocab), label="index ship")
 
     # ---- model: BART-large, bf16 compute ---------------------------------
+    # Random weights (no checkpoint egress) + a corpus-unigram logit bias:
+    # a trained SEAL model concentrates LM mass on corpus-plausible tokens,
+    # which is what makes the exact proposal loop converge in one round.
+    # Pure-random weights spread mass uniformly over the vocab -- an
+    # operating point no trained model exhibits -- so the bias restores the
+    # realistic workload shape while keeping throughput weight-independent.
     cfg = dataclasses.replace(bart_large(), dtype="bfloat16")
     params = _retry(lambda: bart.init_params(jax.random.PRNGKey(0), cfg), label="init")
+    unigram = np.bincount(tokens.ravel() % vocab, minlength=vocab).astype(np.float64)
+    log_unigram = np.log((unigram + 0.5) / (unigram.sum() + 0.5 * vocab))
+    params = dict(params)
+    params["final_logits_bias"] = params["final_logits_bias"] + 4.0 * (
+        log_unigram - log_unigram.mean()
+    ).astype(np.float32)
     params = convert.apply_seal_logits_bias(params, cfg)
 
     # ---- queries: batch 32, beam 15, length 10 ---------------------------

@@ -19,16 +19,25 @@ Semantics replicate the reference decode stack
 
 The TPU-native departure: instead of materializing the distinct-symbol set of
 each beam's FM-interval (the wavelet-tree ``interval_symbols`` fan-out,
-``fm_index.cpp:111-131``), constraints are enforced by
+``fm_index.cpp:111-131``), constraints are enforced **exactly** without ever
+enumerating the full set.  Selection only ever takes the global top ``2K``
+candidates by constrained score, so per beam it suffices to know the ``2K``
+best *allowed* tokens by LM log-prob.  The default path finds them with an
+iterative proposal loop (``_candidates_exact_loop``):
 
-1. *validating* the top-M tokens of the LM distribution with one batched
-   backward-search step each (2 binary searches), and
-2. *enumerating* the interval's BWT window exhaustively when the interval is
-   small (``window`` rows) -- which is exactly the regime where valid
-   continuations might be missed by (1).
+1. take the exact top-``top_m`` LM tokens not yet examined and *validate*
+   each with one batched backward-search step (2 binary searches);
+2. stop as soon as every beam has ``2K`` validated continuations (provably
+   exact: every unexamined token scores below all accepted ones), is
+   *window-exhaustive* (interval <= ``window`` rows, so the gathered BWT
+   window enumerates its distinct set completely), is finished/stop-forced
+   (allowed set is just PAD/EOS), or the vocab is exhausted.
 
-``exact_mask=True`` switches to a dense O(vocab) rank sweep for bit-exact
-reference semantics (used by parity tests and available for small corpora).
+Natural LM distributions satisfy nearly every beam in the first iteration,
+so the steady-state cost equals one speculative round -- but the result is
+bit-identical to the dense reference semantics.  ``speculative=True``
+restores the round-1 approximate mode (single approx-top-M round, no loop);
+``exact_mask=True`` keeps the dense O(vocab) rank sweep used by parity tests.
 """
 
 from __future__ import annotations
@@ -82,6 +91,16 @@ class SingleIndexOps:
     def range_size(self, lo, hi):
         return hi - lo
 
+    def window_exhaustive(self, lo, hi, w):
+        """True where the w-row window enumerates the whole interval."""
+        return (hi - lo) <= w
+
+    def bucket_counts(self, lo, hi):
+        return fm_ops.bucket_counts(self.index, lo, hi)
+
+    def bucket_size(self):
+        return self.index.bucket_size
+
     def dense_counts(self, lo, hi, chunk):
         return fm_ops.dense_counts(self.index, lo, hi, chunk=chunk)
 
@@ -101,8 +120,11 @@ class DecodeConfig:
     stop_at_count: int = 0
     always_allow_eos: bool = False
     disable_fm_index: bool = False
-    top_m: int = 256  # speculative candidates validated per beam per step
+    top_m: int = 256  # speculative-mode candidates / sample-mode buffer size
     window: int = 128  # BWT rows enumerated per beam per step
+    exact_chunk: int = 64  # LM candidates validated per exact proposal round
+    speculative: bool = False  # single approx round (round-1 mode); default
+    #   is the exact proposal loop, which matches dense semantics bit-for-bit
     exact_mask: bool = False  # dense O(vocab) mask (parity mode)
     dense_chunk: int = 2048
     sample: bool = False  # num_beams independent constrained samplers
@@ -192,36 +214,132 @@ def _candidates_general(
         cand_lp = lp
         return _apply_branches(cfg, tokens, fm_valid, cand_lp, prev_count, finished)
 
-    # --- speculative top-M ------------------------------------------------
-    # approx_max_k rides the TPU's hardware top-k path (~2-3x faster than
-    # exact top_k at V=50k); a missed candidate only shrinks the speculative
-    # proposal set, never produces an invalid key (everything is validated)
     if cfg.disable_fm_index:
         # free generation must reproduce exact beam search: use exact top-k
         top_lp, top_tok = lax.top_k(lp, cfg.top_m)
         tokens = top_tok.astype(jnp.int32)
         fm_valid = jnp.ones(tokens.shape, bool)
         return _apply_branches(cfg, tokens, fm_valid, top_lp, prev_count, finished)
-    top_lp, top_tok = lax.approx_max_k(lp, cfg.top_m, recall_target=0.95)
 
-    top_counts = ops.validate(top_tok.astype(jnp.int32), lo, hi)
-    # --- exhaustive small-interval window --------------------------------
+    # --- loop-invariant candidate slots ------------------------------------
+    # exhaustive small-interval window
     win_tok, win_valid = ops.window(lo, hi, cfg.window)
     win_tok = jnp.where(win_valid, win_tok, cfg.pad_token_id).astype(jnp.int32)
     win_lp = jnp.take_along_axis(lp, win_tok.astype(jnp.int32), axis=-1)
-    # --- explicit EOS slot (PAD is in no corpus; EOS handled by branches) -
+    # explicit EOS slot (PAD is in no corpus; EOS handled by branches)
     eos_tok = jnp.full((B, K, 1), cfg.eos_token_id, jnp.int32)
     eos_cnt = ops.validate(eos_tok, lo, hi)
     eos_lp = lp[..., cfg.eos_token_id][..., None]
     pad_tok = jnp.full((B, K, 1), cfg.pad_token_id, jnp.int32)
     pad_lp = lp[..., cfg.pad_token_id][..., None]
 
-    tokens = jnp.concatenate([top_tok.astype(jnp.int32), win_tok, eos_tok, pad_tok], -1)
+    if cfg.speculative:
+        # round-1 mode: one approximate proposal round.  approx_max_k rides
+        # the TPU's hardware top-k path; a missed candidate only shrinks the
+        # proposal set, never produces an invalid key.
+        top_lp, top_tok = lax.approx_max_k(lp, cfg.top_m, recall_target=0.95)
+        top_tok = top_tok.astype(jnp.int32)
+        top_counts = ops.validate(top_tok, lo, hi)
+        top_valid = top_counts > 0
+    else:
+        top_tok, top_lp, top_valid = _exact_proposals(
+            ops, cfg, lp, lo, hi, prev_count, finished, pad_lp
+        )
+
+    tokens = jnp.concatenate([top_tok, win_tok, eos_tok, pad_tok], -1)
     fm_valid = jnp.concatenate(
-        [top_counts > 0, win_valid, eos_cnt > 0, jnp.zeros((B, K, 1), bool)], -1
+        [top_valid, win_valid, eos_cnt > 0, jnp.zeros((B, K, 1), bool)], -1
     )
     cand_lp = jnp.concatenate([top_lp, win_lp, eos_lp, pad_lp], -1)
     return _apply_branches(cfg, tokens, fm_valid, cand_lp, prev_count, finished)
+
+
+def _exact_proposals(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, pad_lp):
+    """Per beam, the ``n_buf`` best *allowed* tokens by LM log-prob -- exact.
+
+    Iterates exact top-``top_m`` chunks of the (not yet examined) LM
+    distribution, validating each chunk with rank queries, until every beam
+    either holds ``n_buf`` validated tokens (all unexamined tokens score
+    lower -> provably sufficient for the global top-2K selection), is
+    window-exhaustive, needs no enumeration (finished / stop-forced), or the
+    vocab is exhausted.  This is the device equivalent of the reference's
+    exact ``interval_symbols`` masks (``fm_index.cpp:78-131``) at a cost
+    that collapses to one proposal round on natural LM distributions.
+    """
+    B, K, V = lp.shape
+    two_k = 2 * cfg.num_beams
+    # sampling draws from the whole allowed distribution, so give it the
+    # full top_m budget; beam modes only ever select 2K candidates
+    n_buf = max(two_k, cfg.top_m) if cfg.sample else two_k
+    chunk = min(cfg.exact_chunk, V)
+
+    count_eff = jnp.where(finished, 0, prev_count)
+    stop_trig = (cfg.stop_at_count > 0) & (count_eff <= cfg.stop_at_count)
+    exempt = finished | stop_trig | ops.window_exhaustive(lo, hi, cfg.window)
+
+    def prune(lp_work):
+        # Bucket-level support pruning, deferred to the moment a second
+        # proposal round is actually needed: a token whose symbol bucket has
+        # zero occurrences in [lo, hi) cannot continue the range, so masking
+        # it bounds the sweep by the interval's *bucket footprint* instead
+        # of the vocab -- collapsing the adversarial case (large interval,
+        # few distinct continuations, all unlikely under the LM).  The first
+        # round runs on the raw distribution (its exact top-chunk is a
+        # superset of the pruned one), so satisfied steps never pay for it.
+        from seal_tpu.index.fm_index import SHIFT
+
+        bcounts = ops.bucket_counts(lo, hi)  # [B, K, n_buckets]
+        v_bucket = (jnp.arange(V, dtype=jnp.int32) + SHIFT) // ops.bucket_size()
+        support = jnp.take(bcounts, v_bucket, axis=-1) > 0  # [B, K, V]
+        return jnp.where(support, lp_work, NEG_INF)
+
+    buf_tok = jnp.full((B, K, n_buf), 0, jnp.int32)
+    buf_lp = jnp.full((B, K, n_buf), NEG_INF, jnp.float32)
+    buf_valid = jnp.zeros((B, K, n_buf), bool)
+    dead0 = jnp.zeros((B, K), bool)  # proposal space exhausted
+    b_idx = jnp.arange(B)[:, None, None]
+    k_idx = jnp.arange(K)[None, :, None]
+
+    def cond(state):
+        lp_work, buf_tok, buf_lp, buf_valid, dead, it = state
+        n_valid = buf_valid.sum(-1)
+        need = ~exempt & ~dead & (n_valid < n_buf)
+        return jnp.any(need) & (it * chunk < V)
+
+    def body(state):
+        lp_work, buf_tok, buf_lp, buf_valid, dead, it = state
+        lp_work = lax.cond(it == 1, prune, lambda x: x, lp_work)
+        top_lp, top_tok = lax.top_k(lp_work.reshape(B * K, V), chunk)
+        top_tok = top_tok.reshape(B, K, chunk).astype(jnp.int32)
+        top_lp = top_lp.reshape(B, K, chunk)
+        counts = ops.validate(top_tok, lo, hi)
+        # consumed slots carry NEG_INF; exclude them (and true -inf logits)
+        valid = (counts > 0) & (top_lp > NEG_INF / 2)
+        # merge: back-fill the buffer with this chunk's validated tokens.
+        # lp is globally descending across chunks and lax.top_k breaks score
+        # ties by lower index, so buffer order stays (lp desc, token asc) --
+        # the same candidate ordering the dense parity mode produces.
+        all_tok = jnp.concatenate([buf_tok, top_tok], -1)
+        all_lp = jnp.concatenate([buf_lp, top_lp], -1)
+        all_valid = jnp.concatenate([buf_valid, valid], -1)
+        rank_score = jnp.where(all_valid, all_lp, NEG_INF)
+        _, keep = lax.top_k(rank_score, n_buf)
+        buf_tok = jnp.take_along_axis(all_tok, keep, -1)
+        buf_lp = jnp.take_along_axis(all_lp, keep, -1)
+        buf_valid = jnp.take_along_axis(all_valid, keep, -1)
+        lp_work = lp_work.at[b_idx, k_idx, top_tok].set(NEG_INF)
+        # nothing proposable remains once the chunk's best slot is consumed
+        dead = top_lp[..., 0] <= NEG_INF / 2
+        return lp_work, buf_tok, buf_lp, buf_valid, dead, it + 1
+
+    state = (lp, buf_tok, buf_lp, buf_valid, dead0, jnp.int32(0))
+    _, buf_tok, buf_lp, buf_valid, _, _ = lax.while_loop(cond, body, state)
+
+    # unfilled slots become PAD candidates at PAD's true log-prob, matching
+    # what the dense mode scores for the finished->PAD branch
+    buf_tok = jnp.where(buf_valid, buf_tok, cfg.pad_token_id)
+    buf_lp = jnp.where(buf_valid, buf_lp, pad_lp)
+    return buf_tok, buf_lp, buf_valid
 
 
 def _apply_branches(cfg: DecodeConfig, tokens, fm_valid, cand_lp, prev_count, finished):

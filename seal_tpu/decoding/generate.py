@@ -136,6 +136,8 @@ def fm_index_generate(
     forced_bos_token_id: Optional[int] = "default",
     top_m: int = 256,
     window: int = 128,
+    exact_chunk: int = 64,
+    speculative: bool = False,
     exact_mask: bool = False,
     sample: bool = False,
     topk: int = 0,
@@ -171,6 +173,8 @@ def fm_index_generate(
         disable_fm_index=disable_fm_index,
         top_m=min(top_m, model_cfg.vocab_size),
         window=window,
+        exact_chunk=exact_chunk,
+        speculative=speculative,
         exact_mask=exact_mask,
         sample=sample,
         topk=topk,

@@ -23,6 +23,45 @@ from flax import struct
 
 from seal_tpu.index.fm_index import FMIndex, SHIFT
 
+BUCKET_ROWS = 1024  # BWT rows per bucket-occ block
+N_BUCKETS = 256  # symbol buckets (one coarse wavelet level)
+
+
+def build_bucket_occ(
+    bwt: np.ndarray,
+    sigma_global: int,
+    bucket_rows: int = BUCKET_ROWS,
+    n_buckets: int = N_BUCKETS,
+) -> tuple[np.ndarray, int]:
+    """Blocked per-bucket rank table over the BWT.
+
+    ``occ[i, b]`` = #rows r < i*bucket_rows whose (shifted) BWT symbol falls
+    in bucket b (buckets partition the symbol space into ``bucket_size``-wide
+    spans).  One coarse wavelet-tree level materialized as a dense rank
+    table: together with a partial-block recount it answers "which symbol
+    buckets occur in BWT[lo:hi), and how often" *exactly* -- the pruning
+    structure behind the exact constrained-decoding masks (the role sdsl's
+    ``interval_symbols`` wavelet descent plays in the reference,
+    ``fm_index.cpp:78-131``).  Costs ~1 byte/token at the defaults.
+
+    ``sigma_global`` must be the model-level alphabet bound (vocab + SHIFT)
+    so every shard of a sharded index uses the same bucket partition.
+    """
+    bucket_size = max(1, -(-int(sigma_global) // n_buckets))
+    n = int(bwt.shape[0])
+    n_blocks = -(-n // bucket_rows)
+    ids = bwt.astype(np.int64) // bucket_size
+    pad = n_blocks * bucket_rows - n
+    if pad:
+        ids = np.concatenate([ids, np.full(pad, n_buckets, np.int64)])
+    ids = ids.reshape(n_blocks, bucket_rows)
+    flat = ids + np.arange(n_blocks, dtype=np.int64)[:, None] * (n_buckets + 1)
+    bc = np.bincount(flat.ravel(), minlength=n_blocks * (n_buckets + 1))
+    bc = bc.reshape(n_blocks, n_buckets + 1)[:, :n_buckets]
+    occ = np.zeros((n_blocks + 1, n_buckets), np.int32)
+    occ[1:] = np.cumsum(bc, axis=0).astype(np.int32)
+    return occ, bucket_size
+
 
 @struct.dataclass
 class DeviceFMIndex:
@@ -35,12 +74,16 @@ class DeviceFMIndex:
     C: Any  # int32 [sigma+1]  C[v] = #symbols < v
     beginnings: Any  # int32 [n_docs+1]  doc start offsets (token space)
     corpus_counts: Any  # int32 [vocab]  step-1 continuation counts by token id
+    bucket_occ: Any  # int32 [n_blocks+1, n_buckets]  blocked bucket-rank table
 
     n_rows: int = struct.field(pytree_node=False)  # N = tokens + 1
     sigma: int = struct.field(pytree_node=False)  # shifted alphabet size
     vocab: int = struct.field(pytree_node=False)  # model vocab size
     n_docs: int = struct.field(pytree_node=False)
     search_iters: int = struct.field(pytree_node=False)  # ceil(log2(N+1))
+    bucket_rows: int = struct.field(pytree_node=False, default=BUCKET_ROWS)
+    bucket_size: int = struct.field(pytree_node=False, default=1)
+    n_buckets: int = struct.field(pytree_node=False, default=N_BUCKETS)
 
     @property
     def n_tokens(self) -> int:
@@ -83,6 +126,7 @@ class DeviceFMIndex:
         keep = occ < vocab
         counts[occ[keep]] = np.asarray(index.occurring_counts, dtype=np.int64)[keep]
         text_dtype = jnp.uint16 if (compact and sigma < 2**16) else jnp.int32
+        occ, bucket_size = build_bucket_occ(index.bwt, int(vocab) + SHIFT)
         return cls(
             text=jnp.asarray(index.text, dtype=text_dtype),
             sa=jnp.asarray(index.sa, dtype=jnp.int32) if keep_sa else None,
@@ -91,11 +135,13 @@ class DeviceFMIndex:
             C=jnp.asarray(index.C, dtype=jnp.int32),
             beginnings=jnp.asarray(index.beginnings, dtype=jnp.int32),
             corpus_counts=jnp.asarray(counts),
+            bucket_occ=jnp.asarray(occ),
             n_rows=n_rows,
             sigma=sigma,
             vocab=int(vocab),
             n_docs=index.n_docs,
             search_iters=max(1, math.ceil(math.log2(n_rows + 1))),
+            bucket_size=bucket_size,
         )
 
     def full_range(self, shape=()) -> tuple[jax.Array, jax.Array]:

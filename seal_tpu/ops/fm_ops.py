@@ -167,6 +167,54 @@ def window_continuations(index: DeviceFMIndex, lo, hi, window: int):
     return jnp.where(valid, toks, -1), valid
 
 
+def _bwt_shifted(index: DeviceFMIndex, rows):
+    """Shifted BWT symbols at the given rows (sentinel stays 0)."""
+    if getattr(index, "bwt", None) is not None:
+        return index.bwt[rows].astype(jnp.int32)
+    prev = index.sa[rows] - 1
+    prev = jnp.where(prev < 0, index.n_rows - 1, prev)
+    return index.text[prev].astype(jnp.int32)
+
+
+def bucket_counts(index: DeviceFMIndex, lo, hi):
+    """Exact per-bucket symbol counts of BWT[lo:hi).
+
+    Returns int32 [..., n_buckets]: for every span of ``bucket_size``
+    adjacent (shifted) symbol ids, how many interval rows carry a symbol in
+    that span.  Blocked-rank lookup (one gather into ``bucket_occ``) plus a
+    partial-block recount of at most ``bucket_rows`` BWT rows per bound.
+    A zero bucket proves *no* symbol in that span continues the range --
+    the pruning fact the exact proposal loop needs (the dense analogue of
+    descending one level of sdsl's wavelet tree, ``fm_index.cpp:78-131``).
+    """
+    lo = jnp.asarray(lo, jnp.int32)
+    hi = jnp.asarray(hi, jnp.int32)
+    pos = jnp.stack([jnp.clip(lo, 0, index.n_rows), jnp.clip(hi, 0, index.n_rows)], 0)
+    R, nb = index.bucket_rows, index.n_buckets
+    blk = pos // R
+    base = index.bucket_occ[blk]  # [2, ..., nb]
+    iota_nb = jnp.arange(nb, dtype=jnp.int32)
+
+    chunk = min(R, 256)
+
+    def body(acc, r0):
+        offs = r0 + jnp.arange(chunk, dtype=jnp.int32)
+        rows = blk[..., None] * R + offs  # [2, ..., chunk]
+        valid = rows < pos[..., None]
+        sym = _bwt_shifted(index, jnp.where(valid, rows, 0))
+        bid = sym // index.bucket_size
+        onehot = (bid[..., :, None] == iota_nb) & valid[..., None]
+        return acc + onehot.sum(-2).astype(jnp.int32), None
+
+    # derive the zero init from pos so its shard-varying type matches the
+    # in-loop accumulator under shard_map (plain zeros would be invariant)
+    acc0 = jnp.zeros(pos.shape + (nb,), jnp.int32) + (pos * 0)[..., None]
+    starts = jnp.arange(0, R, chunk, dtype=jnp.int32)
+    partial, _ = lax.scan(body, acc0, starts)
+    pre = base + partial
+    return pre[1] - pre[0]
+
+
 def validate_tokens(index: DeviceFMIndex, tokens, lo, hi):
     """Counts of each candidate continuation token of ranges [lo, hi).
 

@@ -113,6 +113,18 @@ class ShardedIndexOps:
     def range_size(self, lo, hi):
         return lax.psum(hi - lo, self.axis)
 
+    def window_exhaustive(self, lo, hi, w):
+        """True where every shard's local interval fits its w window slots
+        (then the psum-merged window holds the union's full distinct set)."""
+        local_over = ((hi - lo) > w).astype(jnp.int32)
+        return lax.psum(local_over, self.axis) == 0
+
+    def bucket_counts(self, lo, hi):
+        return lax.psum(fm_ops.bucket_counts(self.dev, lo, hi), self.axis)
+
+    def bucket_size(self):
+        return self.dev.bucket_size
+
     def dense_counts(self, lo, hi, chunk):
         return lax.psum(fm_ops.dense_counts(self.dev, lo, hi, chunk=chunk), self.axis)
 
@@ -123,14 +135,14 @@ def _jitted_sharded_search(model_cfg, dcfg: DecodeConfig, mesh: Mesh, statics):
     from jax.experimental.shard_map import shard_map
 
     bart = model_api.module_for(model_cfg)
-    n_rows_pad, sigma, vocab, n_docs_pad, search_iters = statics
+    n_rows_pad, sigma, vocab, n_docs_pad, search_iters, bucket_size = statics
 
-    def per_shard(text, sa, psi, C, beg, n_rows, counts, params, ids, mask, key):
+    def per_shard(text, sa, psi, C, beg, n_rows, bocc, counts, params, ids, mask, key):
         dev = DeviceFMIndex(
             text=text[0], sa=sa[0], psi=psi[0], bwt=None, C=C[0], beginnings=beg[0],
-            corpus_counts=counts,
+            corpus_counts=counts, bucket_occ=bocc[0],
             n_rows=n_rows_pad, sigma=sigma, vocab=vocab, n_docs=n_docs_pad,
-            search_iters=search_iters,
+            search_iters=search_iters, bucket_size=bucket_size,
         )
         ops = ShardedIndexOps(dev, n_rows[0])
         enc = bart.encode(model_cfg, params, ids, mask)
@@ -143,13 +155,13 @@ def _jitted_sharded_search(model_cfg, dcfg: DecodeConfig, mesh: Mesh, statics):
             per_shard,
             mesh=mesh,
             in_specs=(
-                P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
                 P(), P(), P(), P(), P(),
             ),
             out_specs=P(),
         )
         return fn(
-            si.text, si.sa, si.psi, si.C, si.beginnings, si.n_rows,
+            si.text, si.sa, si.psi, si.C, si.beginnings, si.n_rows, si.bucket_occ,
             si.corpus_counts, params, ids, mask, key,
         )
 
@@ -196,6 +208,8 @@ def sharded_fm_index_generate(
         disable_fm_index=kwargs.pop("disable_fm_index", False),
         top_m=min(kwargs.pop("top_m", 256), model_cfg.vocab_size),
         window=kwargs.pop("window", 128),
+        exact_chunk=kwargs.pop("exact_chunk", 64),
+        speculative=kwargs.pop("speculative", False),
         exact_mask=kwargs.pop("exact_mask", False),
         sample=kwargs.pop("sample", False),
         topk=kwargs.pop("topk", 0),
@@ -210,6 +224,7 @@ def sharded_fm_index_generate(
         sharded_index.vocab,
         sharded_index.beginnings.shape[1] - 1,
         sharded_index.search_iters,
+        sharded_index.bucket_size,
     )
     run = _jitted_sharded_search(model_cfg, dcfg, mesh, statics)
     out = run(

@@ -46,11 +46,13 @@ class ShardedFMIndex:
     beginnings: Any  # int32 [S, D_max+1]
     n_docs_shard: Any  # int32 [S]
     corpus_counts: Any  # int32 [vocab]  global step-1 counts (replicated)
+    bucket_occ: Any  # int32 [S, n_blocks_max+1, n_buckets]  per-shard tables
 
     n_shards: int = struct.field(pytree_node=False)
     vocab: int = struct.field(pytree_node=False)
     search_iters: int = struct.field(pytree_node=False)
     n_docs: int = struct.field(pytree_node=False)
+    bucket_size: int = struct.field(pytree_node=False, default=1)
 
     @classmethod
     def build(
@@ -109,6 +111,23 @@ class ShardedFMIndex:
             keep = occ < vocab
             counts[occ[keep]] += np.asarray(h.occurring_counts, dtype=np.int64)[keep]
 
+        # per-shard bucket-occ tables with a SHARED bucket partition (sized
+        # by the global alphabet), padded to the max block count by
+        # repeating the final cumulative row (safe: queries stay <= n_rows)
+        from seal_tpu.index.device_index import build_bucket_occ
+
+        occ_tabs, bucket_size = [], 1
+        for h in hosts:
+            tab, bucket_size = build_bucket_occ(h.bwt, vocab + SHIFT)
+            occ_tabs.append(tab)
+        nb_max = max(t.shape[0] for t in occ_tabs)
+        bucket_occ = np.stack(
+            [
+                np.concatenate([t, np.repeat(t[-1:], nb_max - t.shape[0], 0)])
+                for t in occ_tabs
+            ]
+        )
+
         doc_offset = np.zeros(n_shards, np.int32)  # global ids via assignment
         sharded = cls(
             text=jnp.asarray(text),
@@ -120,10 +139,12 @@ class ShardedFMIndex:
             beginnings=jnp.asarray(beg),
             n_docs_shard=jnp.asarray([h.n_docs for h in hosts], jnp.int32),
             corpus_counts=jnp.asarray(np.minimum(counts, 2**31 - 1), jnp.int32),
+            bucket_occ=jnp.asarray(bucket_occ),
             n_shards=n_shards,
             vocab=vocab,
             search_iters=max(1, math.ceil(math.log2(n_max + 1))),
             n_docs=len(docs),
+            bucket_size=bucket_size,
         )
         return sharded, hosts, assignments
 
@@ -137,11 +158,13 @@ class ShardedFMIndex:
             C=self.C[s],
             beginnings=self.beginnings[s],
             corpus_counts=self.corpus_counts,
+            bucket_occ=self.bucket_occ[s],
             n_rows=int(self.n_rows[s]),
             sigma=self.C.shape[1] - 1,
             vocab=self.vocab,
             n_docs=int(self.n_docs_shard[s]),
             search_iters=self.search_iters,
+            bucket_size=self.bucket_size,
         )
 
     def place(self, mesh: Mesh) -> "ShardedFMIndex":
@@ -164,6 +187,7 @@ class ShardedFMIndex:
             beginnings=put("beginnings", self.beginnings),
             n_docs_shard=put("n_docs_shard", self.n_docs_shard),
             corpus_counts=put("corpus_counts", self.corpus_counts),
+            bucket_occ=put("bucket_occ", self.bucket_occ),
         )
 
 
@@ -232,7 +256,9 @@ class UnionHostIndex:
         return self.hosts[s].get_doc_length(local)
 
 
-def _shard_device_index(si: ShardedFMIndex, s_text, s_sa, s_psi, s_C, s_beg, n_rows):
+def _shard_device_index(
+    si: ShardedFMIndex, s_text, s_sa, s_psi, s_C, s_beg, n_rows, s_bucket_occ=None
+):
     """A DeviceFMIndex view of one shard inside shard_map (arrays are the
     per-device blocks; n_rows is the shard's true row count as a traced
     scalar folded into the query ops via masking)."""
@@ -244,11 +270,13 @@ def _shard_device_index(si: ShardedFMIndex, s_text, s_sa, s_psi, s_C, s_beg, n_r
         C=s_C,
         beginnings=s_beg,
         corpus_counts=si.corpus_counts,
+        bucket_occ=s_bucket_occ,
         n_rows=si.text.shape[1],  # static padded size; C caps real ranges
         sigma=si.C.shape[1] - 1,
         vocab=si.vocab,
         n_docs=si.beginnings.shape[1] - 1,
         search_iters=si.search_iters,
+        bucket_size=si.bucket_size,
     )
 
 

@@ -95,9 +95,11 @@ class SEALSearcher:
         "topk": 0,
         "force_decoding_second_token": -1,
         # --- TPU-build extensions (not in the reference) ------------------
-        "top_m": 256,  # speculative candidates per beam per step
+        "top_m": 256,  # LM candidates validated per beam per proposal round
         "window": 128,  # enumerated BWT rows per beam per step
-        "exact_mask": False,  # dense O(vocab) constraint mask
+        "speculative": False,  # opt-in: single approximate proposal round
+        #   (default is the exact proposal loop: dense-mask semantics)
+        "exact_mask": False,  # dense O(vocab) constraint mask (parity mode)
         "pipeline": True,  # overlap device generation with host aggregation
     }
 
@@ -436,6 +438,7 @@ class SEALSearcher:
             forced_bos_token_id=None,
             top_m=self.top_m,
             window=self.window,
+            speculative=self.speculative,
             exact_mask=self.exact_mask,
             topk=self.topk,
             diverse_bs_groups=self.diverse_bs_groups,
