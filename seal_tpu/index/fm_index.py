@@ -243,6 +243,33 @@ class FMIndex:
         low, high = self.get_range(sequence)
         return high - low
 
+    def get_ranges_batch(
+        self, sequences: Sequence[Sequence[int]]
+    ) -> List[Tuple[int, int]]:
+        """``get_range`` for many sequences in one native call.
+
+        The per-token searchsorted chain is Python-call-bound on a 1-core
+        host; the C++ kernel runs the identical binary searches in-process.
+        Falls back to the Python loop when the native library (or an int32
+        psi) is unavailable.
+        """
+        if not sequences:
+            return []
+        if self.psi is not None and self.psi.dtype == np.int32:
+            try:
+                from seal_tpu.cpp import native
+
+                lo, hi = native.load().ranges_multi(
+                    self.psi,
+                    self.C,
+                    [[int(t) + SHIFT for t in s] for s in sequences],
+                    self.size(),
+                )
+                return list(zip(lo.tolist(), hi.tolist()))
+            except Exception:  # pragma: no cover - g++ unavailable
+                pass
+        return [self.get_range(s) for s in sequences]
+
     def locate(self, row: int) -> int:
         """Corpus position (in reversed-text coordinates) of an index row.
 
@@ -260,6 +287,29 @@ class FMIndex:
         return self.text[begin:end][::-1].tolist()
 
     # ------------------------------------------------------------- doc lookup
+
+    def get_docs_flat(self, doc_indices: Sequence[int]):
+        """Concatenated forward-order unshifted tokens of many documents.
+
+        Returns (flat int64 array, exclusive-end offsets int64).  One
+        vectorized gather over ``text`` instead of a per-document
+        slice+reverse+tolist loop -- the batched form stage 2 of the ranker
+        consumes (it fetches ``n_docs_complete_score`` docs per query).
+        """
+        ids = np.asarray(doc_indices, np.int64)
+        beg = np.asarray(self.beginnings, np.int64)
+        starts = beg[ids]
+        lens = beg[ids + 1] - starts
+        off = np.zeros(ids.size + 1, np.int64)
+        np.cumsum(lens, out=off[1:])
+        total = int(off[-1])
+        # doc j position k holds text[start_j + len_j - 1 - k] (docs are
+        # stored reversed)
+        pos = np.arange(total, dtype=np.int64)
+        rep_off = np.repeat(off[:-1], lens)
+        rep_last = np.repeat(starts + lens - 1, lens)
+        flat = self.text[rep_last - (pos - rep_off)].astype(np.int64) - SHIFT
+        return flat, off
 
     def get_doc(self, doc_index: int) -> List[int]:
         """Forward token ids of a document (parity: ``index.py:68-75``)."""

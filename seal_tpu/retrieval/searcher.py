@@ -383,6 +383,10 @@ class SEALSearcher:
             )[:n]
             # (0, count) surrogate ranges: only the difference is meaningful
             return [(0, int(c)) for c in counts]
+        if getattr(self.fm_index, "psi", None) is not None:
+            # in-process native batch (sub-ms) beats a device dispatch at
+            # these batch sizes -- especially through a remote-TPU tunnel
+            return self.fm_index.get_ranges_batch(seqs)
         if not hasattr(self, "_jit_ranges"):
             self._jit_ranges = jax.jit(
                 lambda idx, t, l: fm_ops.range_for_sequences(idx, t, l)

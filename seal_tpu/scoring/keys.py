@@ -24,9 +24,8 @@ Scoring pipeline helpers (``strip``, ``deduplicate``,
 from __future__ import annotations
 
 import math
-from collections import Counter, defaultdict
+from collections import defaultdict
 from functools import lru_cache
-from heapq import heappop, heappush
 from itertools import chain, product
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -100,7 +99,7 @@ def _pad_to(seqs: Sequence[Sequence[int]], pad: int, multiple: int = 8):
 
 
 @lru_cache(maxsize=32)
-def _jitted_rescore(model_cfg: BartConfig):
+def _jitted_rescore(model_cfg: BartConfig, n_prefix: int = 0):
     bart = model_api.module_for(model_cfg)
 
     def run(params, enc_out, enc_mask, dec_ids):
@@ -109,7 +108,10 @@ def _jitted_rescore(model_cfg: BartConfig):
         tgt = dec_ids[:, 1:]
         tok_lp = jnp.take_along_axis(lp, tgt[..., None], axis=-1)[..., 0]
         tok_lp = jnp.where(tgt < 2, 0.0, tok_lp)  # zero bos/pad (keys.py:132)
-        return tok_lp
+        # sum on device (dropping forced-prefix positions): the host only
+        # needs one scalar per key, not the [B, T] table -- keeps the
+        # per-sub-batch device->host transfer tiny and async-able
+        return tok_lp[:, n_prefix:].sum(-1)
 
     return jax.jit(run)
 
@@ -163,7 +165,8 @@ def rescore_keys(
     }
     if not jobs:
         return [all_out[i] for i in range(len(list_of_decoded))]
-    run = _jitted_rescore(model_cfg)
+    run = _jitted_rescore(model_cfg, len(prefix))
+    pending = []  # dispatch all sub-batches, then fetch once
     for off in range(0, len(jobs), batch_size):
         batch = jobs[off : off + batch_size]
         n_real = len(batch)
@@ -172,17 +175,16 @@ def rescore_keys(
             batch = batch + [batch[0]] * (batch_size - n_real)
         dec_ids = _pad_to([d for _, _, d in batch], pad)
         qidx = np.array([q for q, _, _ in batch])
-        tok_lp = np.asarray(
-            run(
-                params,
-                enc_out[qidx],
-                jnp.asarray(enc_mask[qidx]),
-                jnp.asarray(dec_ids),
-            )
+        lls = run(
+            params,
+            enc_out[qidx],
+            jnp.asarray(enc_mask[qidx]),
+            jnp.asarray(dec_ids),
         )
-        tok_lp = tok_lp[:, len(prefix):]  # drop forced-prefix positions
-        lls = tok_lp.sum(-1)
-        for (qi, di, _), ll in zip(batch[:n_real], lls[:n_real]):
+        pending.append((batch[:n_real], lls))
+    fetched = jax.device_get([lls for _, lls in pending])
+    for (batch, _), lls in zip(pending, fetched):
+        for (qi, di, _), ll in zip(batch, lls):
             sco = float(ll) / (len(di) ** length_penalty) if di else float(ll)
             all_out[qi].append((sco, di))
     return [all_out[i] for i in range(len(list_of_decoded))]
@@ -291,10 +293,17 @@ def aggregate_evidence(
     # when a device range_fn is provided (the TPU host is often 1-core; the
     # per-ngram searchsorted chain dominates otherwise)
     ranges_pre: Dict[tuple, Tuple[int, int]] = {}
-    if range_fn is not None and ngrams_and_scores:
+    if ngrams_and_scores:
         uniq = list({tuple(n) for n, _ in ngrams_and_scores})
-        for n, r in zip(uniq, range_fn([list(n) for n in uniq])):
-            ranges_pre[n] = (int(r[0]), int(r[1]))
+        if range_fn is not None:
+            ranges = range_fn([list(n) for n in uniq])
+        elif hasattr(index, "get_ranges_batch"):
+            ranges = index.get_ranges_batch([list(n) for n in uniq])
+        else:
+            ranges = None
+        if ranges is not None:
+            for n, r in zip(uniq, ranges):
+                ranges_pre[n] = (int(r[0]), int(r[1]))
 
     def get_range_cached(ngram_t: tuple) -> Tuple[int, int]:
         r = ranges_pre.get(ngram_t)
@@ -323,47 +332,46 @@ def aggregate_evidence(
         scored.append((ngram, sco))
     ngrams_and_scores = scored
 
-    # ---- unigram scores --------------------------------------------------
+    # ---- unigram scores (vectorized; reference keys.py:236-278) ----------
     if unigram_scores is not None:
-        unigram_scores = list(unigram_scores)
-        best = sorted(range(len(unigram_scores)), reverse=True, key=lambda i: unigram_scores[i])
-        best = set(best[:use_top_k_unigrams])
-        unigram_scores = [s if i in best else float("-inf") for i, s in enumerate(unigram_scores)]
+        u = np.asarray(unigram_scores, np.float64).copy()
+        V_u = u.size
+        # top-k selection with the reference's tie order (stable descending:
+        # equal values keep ascending index)
+        if use_top_k_unigrams < V_u:
+            top = np.argsort(-u, kind="stable")[:use_top_k_unigrams]
+        else:
+            top = np.arange(V_u)
         # O(1) single-token counts via the C array when available (the
         # reference walks the index for every vocab entry, keys.py:252)
         count1 = getattr(index, "token_count", lambda i: index.get_count([i]))
-        for i in range(len(unigram_scores)):
+        out = np.zeros(V_u, np.float64)
+        for i in top.tolist():
             if i in unigrams:
-                unigram_scores[i] = 0.0
                 continue
-            sr = unigram_scores[i]
-            if sr == float("-inf"):
-                # not in the top-k: score is 0 regardless of count
-                unigram_scores[i] = 0.0
-                continue
+            sr = float(u[i])
             count = count1(i)
             if count == 0:
-                sco = 0.0
-            elif use_fm_index_frequency:
-                # note: the reference applies no alpha exponent here (keys.py:255-261)
-                sr_ = sr
+                continue
+            if use_fm_index_frequency:
+                # note: the reference applies no alpha exponent here
+                # (keys.py:255-261)
                 snr = math.log((count + smoothing) / (ntokens + smoothing))
                 try:
-                    sco = (sr_ + math.log1p(-math.exp(snr))) - (snr + math.log1p(-math.exp(sr_)))
+                    sco = (sr + math.log1p(-math.exp(snr))) - (snr + math.log1p(-math.exp(sr)))
                 except ValueError:  # sr == 0.0 -> log(0)
                     sco = 0.0
                 sco = max(sco, 0.0)
             else:
                 sco = max(sr - cutoff, 0.0) ** alpha
-            unigram_scores[i] = sco if sco != 0.0 else 0.0
+            out[i] = sco
+        unigram_scores = out
 
         if add_best_unigrams_to_ngrams:
-            best_unigrams = sorted(
-                range(len(unigram_scores)), key=lambda x: -unigram_scores[x]
-            )[: len(ngrams_and_scores)]
-            for i in best_unigrams:
+            best_unigrams = np.argsort(-out, kind="stable")[: len(ngrams_and_scores)]
+            for i in best_unigrams.tolist():
                 counts[(i,)] = count1(i)
-                ngrams_and_scores.append(([i], unigram_scores[i]))
+                ngrams_and_scores.append(([i], float(out[i])))
 
     # ---- rare / frequent split (keys.py:280-309) -------------------------
     rare_ngrams: Dict[tuple, float] = defaultdict(float)
@@ -385,210 +393,265 @@ def aggregate_evidence(
     )
 
     # ---- stage 1: rare-ngram occurrence sampling (keys.py:311-364) -------
-    first_stage: Dict[int, list] = defaultdict(lambda: [0.0, [], [[], 0.0]])
-
     n_corpus = int(index.beginnings[-1]) + getattr(index, "n_sentinels", 1)
     covered = np.zeros(n_corpus + 2, dtype=np.uint8)  # vectorized covered_points
+
     try:
         from seal_tpu.cpp import native as _native
 
-        claim = _native.load().stage1_claim
-    except Exception:  # pragma: no cover - fallback when g++ unavailable
-        def claim(cov, ends, length):
-            flags = np.empty(ends.size, bool)
-            for i, e in enumerate(ends):
-                s = max(int(e) - length, 0)
-                fresh = not cov[s:e].any()
-                flags[i] = fresh
-                if fresh:
-                    cov[s:e] = 1
-            return flags
+        nat = _native.load()
+    except Exception:  # pragma: no cover - g++ unavailable
+        nat = None
 
-    for ngram, sco in rare_ngrams.items():
-        # vectorized locate (SA slice) + doc lookup for the whole interval
-        # (the reference walks a sampled SA per row, keys.py:320-326); spans
-        # with tok_start < 0 (reference pseudo-spans at the corpus edge,
-        # keys.py:322-325) are clamped to 0
+    rare_list = list(rare_ngrams.items())
+    # occurrence rows (vectorized locate: one SA slice per ngram; the
+    # reference walks a sampled SA per row, keys.py:320-326)
+    occ_ends, occ_docs, row_off = [], [], [0]
+    for ngram, _sco in rare_list:
         tok_ends, doc_ids = index.occurrences(
             list(ngram), max_occurrences_1, rng=ranges_pre.get(tuple(ngram))
         )
-        n_rows = len(tok_ends)
-        new_flags = claim(covered, tok_ends, len(ngram))
+        occ_ends.append(np.asarray(tok_ends, np.int64))
+        occ_docs.append(np.asarray(doc_ids, np.int64))
+        row_off.append(row_off[-1] + len(tok_ends))
 
+    def _stage1_prims():
         if sort_by_length:
-            order = (len(ngram), sco)
-        elif sort_by_freq:
-            order = (-counts[tuple(ngram)], sco)
-        else:
-            order = sco
+            return [float(len(n)) for n, _ in rare_list], 0.0
+        if sort_by_freq:
+            return [-float(counts[n]) for n, _ in rare_list], -float(len(index))
+        return [0.0] * len(rare_list), 0.0
 
-        doc_done: set = set()
-        for row_i in range(n_rows):
-            doc = int(doc_ids[row_i])
-            info = first_stage[doc]
-            if sort_by_length:
-                max_order = (len(info[2][0]), info[2][1])
-            elif sort_by_freq:
-                max_order = (-counts.get(tuple(info[2][0]), 0), info[2][1])
-            else:
-                max_order = info[2][1]
-            if order > max_order:
-                info[2] = [ngram, sco]
-            if (new_flags[row_i] or allow_overlaps) and doc not in doc_done:
-                doc_done.add(doc)
-                info[0] += sco
-                info[1].append((ngram, sco))
+    prims1, init_prim1 = _stage1_prims()
+    max_token = 0
+    for n, _ in rare_list:
+        if n:
+            max_token = max(max_token, max(n))
 
-    # per-doc coverage re-scoring (keys.py:352-364)
-    for doc, doc_info in first_stage.items():
-        current_coverage = set()
-        current_score = 0.0
-        for i in range(len(doc_info[1])):
-            tt, sco = doc_info[1][i]
-            tts = set(tt)
-            new_sco = repetition(tts, sco, current_coverage)
-            current_score += new_sco
-            doc_info[1][i] = [tt, new_sco]
-            current_coverage |= tts
-        doc_info[0] = current_score
+    if nat is not None and rare_list:
+        docs_u, scores_u, best_u = nat.stage1_accumulate(
+            [list(n) for n, _ in rare_list],
+            [s for _, s in rare_list],
+            prims1,
+            row_off,
+            np.concatenate(occ_ends) if occ_ends else np.zeros(0, np.int64),
+            np.concatenate(occ_docs) if occ_docs else np.zeros(0, np.int64),
+            covered,
+            beta,
+            init_prim1,
+            allow_overlaps,
+            max_token,
+        )
+        fs_items = [
+            (int(d), (float(s), float(b)))
+            for d, s, b in zip(docs_u, scores_u, best_u)
+        ]
+    else:  # pragma: no cover - python mirror of stage1_accumulate
+        fs_scores: Dict[int, list] = {}
+        order_idx: List[int] = []
+        for g, (ngram, sco) in enumerate(rare_list):
+            L = len(ngram)
+            for r in range(row_off[g], row_off[g + 1]):
+                e = int(occ_ends[g][r - row_off[g]])
+                s_pos = max(e - L, 0)
+                fresh = not covered[s_pos:e].any()
+                if fresh:
+                    covered[s_pos:e] = 1
+                doc = int(occ_docs[g][r - row_off[g]])
+                info = fs_scores.get(doc)
+                if info is None:
+                    info = [init_prim1, 0.0, [], -1]  # best_prim, best, matched, done
+                    fs_scores[doc] = info
+                    order_idx.append(doc)
+                if prims1[g] > info[0] or (prims1[g] == info[0] and sco > info[1]):
+                    info[0], info[1] = prims1[g], sco
+                if (fresh or allow_overlaps) and info[3] != g:
+                    info[3] = g
+                    info[2].append((ngram, sco))
+        fs_items = []
+        for doc in order_idx:
+            info = fs_scores[doc]
+            cov: set = set()
+            total = 0.0
+            for tt, sco in info[2]:
+                total += repetition(set(tt), sco, cov)
+                cov |= set(tt)
+            fs_items.append((doc, (total, info[1])))
 
     to_fully_score = sorted(
-        first_stage.items(),
-        key=lambda x: (1.0 - single_key) * (-x[1][0]) + single_key * (-x[1][2][1]),
+        fs_items,
+        key=lambda x: (1.0 - single_key) * (-x[1][0]) + single_key * (-x[1][1]),
     )[:n_docs_complete_score]
 
-    # ---- stage 2: full multi-pattern matching (keys.py:377-497) ----------
+    # ---- stage 2: full multi-pattern matching + greedy assignment --------
+    # (reference keys.py:377-497, heap form; the heap is fully built before
+    # any pop, so span-sorted processing is identical)
     results: Dict[int, list] = defaultdict(
         lambda: [0.0, [], None, None, [[], 0.0]]
     )
 
-    # the match set of the reference's streaming token trie, computed by one
-    # Aho-Corasick pass over all candidate docs (native) or the trie fallback
     patterns = [n for n, s in all_ngrams.items() if len(n) >= 1 and s > 0.0]
     pat_scores = [all_ngrams[n] for n in patterns]
     doc_list = [doc for doc, _ in to_fully_score]
-    doc_tokens_list = [[2] + index.get_doc(doc)[:-1] for doc in doc_list]
 
-    per_doc_matches: List[Dict[tuple, list]] = []
-    try:
-        from seal_tpu.cpp import native as _native
-
-        triples = _native.load().ac_match(
-            [list(p) for p in patterns], doc_tokens_list
+    # stage-2 document tokens [2] + doc[:-1] (reference keys.py:388), built
+    # with one vectorized text gather + a global shift-by-one
+    if doc_list and hasattr(index, "get_docs_flat"):
+        raw_flat, doc_off = index.get_docs_flat(doc_list)
+        doc_data = np.empty_like(raw_flat)
+        doc_data[1:] = raw_flat[:-1]
+        doc_data[doc_off[:-1]] = 2
+    else:
+        per_doc = [[2] + index.get_doc(doc)[:-1] for doc in doc_list]
+        doc_off = np.zeros(len(doc_list) + 1, np.int64)
+        np.cumsum([len(d) for d in per_doc], out=doc_off[1:])
+        doc_data = (
+            np.concatenate([np.asarray(d, np.int64) for d in per_doc])
+            if per_doc
+            else np.zeros(0, np.int64)
         )
-        # group by doc; insertion order = (end position, shorter first) to
-        # mirror the reference's streaming completion order
-        per_doc_matches = [dict() for _ in doc_list]
-        if len(triples):
-            plen = np.array([len(p) for p in patterns], np.int64)
-            ends = triples[:, 2] + plen[triples[:, 1]]
-            order = np.lexsort((plen[triples[:, 1]], ends, triples[:, 0]))
-            for t in order:
-                d, p, start = int(triples[t, 0]), int(triples[t, 1]), int(triples[t, 2])
-                per_doc_matches[d].setdefault(patterns[p], [pat_scores[p], []])[1].append(
-                    (start, start + int(plen[p]))
+    doc_flat32 = (doc_data.astype(np.int32), doc_off)
+
+    def doc_tokens_of(di: int) -> List[int]:
+        return doc_data[int(doc_off[di]) : int(doc_off[di + 1])].tolist()
+
+    if sort_by_length:
+        prims2 = [-float(len(n)) for n in patterns]
+        init_prim2 = 0.0
+    elif sort_by_freq:
+        prims2 = [float(counts.get(tuple(n), 0)) for n in patterns]
+        init_prim2 = float(len(index))
+    else:
+        prims2 = [0.0] * len(patterns)
+        init_prim2 = 0.0
+    for n in patterns:
+        max_token = max(max_token, max(n))
+    if doc_data.size:
+        max_token = max(max_token, int(doc_data.max()))
+
+    pat_flat = None
+    if patterns:
+        pat_off_ = np.zeros(len(patterns) + 1, np.int64)
+        np.cumsum([len(p) for p in patterns], out=pat_off_[1:])
+        pat_flat = (
+            np.fromiter(chain.from_iterable(patterns), np.int32, int(pat_off_[-1])),
+            pat_off_,
+        )
+    else:
+        pat_flat = (np.zeros(0, np.int32), np.zeros(1, np.int64))
+
+    if nat is not None:
+        triples = nat.ac_match(pat_flat, doc_flat32)
+        multi, single, best_pat, uni, f_off, f_id, f_sco = nat.stage2_score(
+            pat_flat,
+            pat_scores,
+            prims2,
+            doc_flat32,
+            triples,
+            unigram_scores,
+            beta,
+            init_prim2,
+            allow_overlaps,
+            unigrams_ignore_free_places,
+            max_token,
+        )
+        for di, doc in enumerate(doc_list):
+            results[doc][3] = doc_tokens_of(di)
+            found = []
+            for k in range(int(f_off[di]), int(f_off[di + 1])):
+                pid = int(f_id[k])
+                if pid >= 0:
+                    found.append((patterns[pid], float(f_sco[k])))
+                else:
+                    found.append(((-pid - 1,), float(f_sco[k])))
+            results[doc][1] = found
+            bp = int(best_pat[di])
+            results[doc][4] = [patterns[bp] if bp >= 0 else [], float(single[di])]
+            single_sco = float(single[di])
+            if single_key_add_unigrams:
+                single_sco += float(uni[di])
+            multi_sco = float(multi[di]) + float(uni[di])
+            results[doc][0] = (1.0 - single_key) * multi_sco + single_key * single_sco
+    else:  # pragma: no cover - python mirror of ac_match + stage2_score
+        for di, doc in enumerate(doc_list):
+            doc_tokens = doc_tokens_of(di)
+            results[doc][3] = doc_tokens
+            # match spans: patterns grouped by first token, checked at each
+            # start position; ordered by (end, shorter first) like the
+            # native completion order
+            by_first: Dict[int, List[int]] = defaultdict(list)
+            for pi, p in enumerate(patterns):
+                by_first[p[0]].append(pi)
+            spans: List[tuple] = []
+            for start, tok in enumerate(doc_tokens):
+                for pi in by_first.get(tok, ()):
+                    p = patterns[pi]
+                    if list(doc_tokens[start : start + len(p)]) == list(p):
+                        spans.append((start + len(p), len(p), pi, start))
+            spans.sort()
+            entry_order: List[int] = []
+            seen_pat: set = set()
+            for _e, _l, pi, _s in spans:
+                if pi not in seen_pat:
+                    seen_pat.add(pi)
+                    entry_order.append(pi)
+            best_prim, best_sco, best_pi = init_prim2, 0.0, -1
+            for pi in entry_order:
+                if prims2[pi] < best_prim or (
+                    prims2[pi] == best_prim and -pat_scores[pi] < -best_sco
+                ):
+                    best_prim, best_sco, best_pi = prims2[pi], pat_scores[pi], pi
+            results[doc][4] = [patterns[best_pi] if best_pi >= 0 else [], best_sco]
+
+            greedy = sorted(
+                spans,
+                key=lambda x: (-pat_scores[x[2]], tuple(patterns[x[2]]), x[3], x[0]),
+            )
+            coverage: set = set()
+            found: List[tuple] = []
+            prev = -1
+            free = [True] * len(doc_tokens)
+            for _e, _l, pi, i in greedy:
+                j = i + _l
+                n = patterns[pi]
+                if pi == prev:
+                    new_s = found[-1][1]
+                else:
+                    new_s = repetition(set(n), pat_scores[pi], coverage)
+                if new_s <= 0.0:
+                    continue
+                if not (allow_overlaps or all(free[i:j])):
+                    continue
+                if pi == prev:
+                    found[-1] = (n, new_s)
+                else:
+                    prev = pi
+                    coverage |= set(n)
+                    found.append((n, new_s))
+                free[i:j] = [False] * (j - i)
+            if unigrams_ignore_free_places:
+                free = [True] * len(free)
+            multi_sco = sum(s for _, s in found)
+            uni_total = 0.0
+            seen_tok: set = set()
+            for k, t in enumerate(doc_tokens):
+                if not free[k] or t in seen_tok:
+                    continue
+                seen_tok.add(t)
+                s = (
+                    unigram_scores[t]
+                    if unigram_scores is not None and t < len(unigram_scores)
+                    else 0.0
                 )
-    except Exception:  # pragma: no cover - g++ unavailable
-        trie: Dict = {}
-        for ngram, score in zip(patterns, pat_scores):
-            node = trie
-            for t in ngram:
-                node = node.setdefault(t, {})
-            node[-1] = score
-        for doc_tokens in doc_tokens_list:
-            matches: Dict[tuple, list] = {}
-            open_matches: List[tuple] = []
-            for i, tok in enumerate(doc_tokens):
-                open_matches = [
-                    (m.get(tok), l + 1, n) for (m, l, n) in open_matches
-                ] + [(trie.get(tok), 1, [])]
-                for _, _, n in open_matches:
-                    n.append(tok)
-                new_open = []
-                while open_matches:
-                    m, l, n = open_matches.pop()
-                    if m is None:
-                        continue
-                    new_open.append((m, l, n))
-                    if -1 in m:
-                        matches.setdefault(tuple(n), [m[-1], []])[1].append(
-                            (i - l + 1, i + 1)
-                        )
-                open_matches = new_open
-            per_doc_matches.append(matches)
-
-    for doc, doc_tokens, matches in zip(doc_list, doc_tokens_list, per_doc_matches):
-        results[doc][3] = doc_tokens
-
-        if unigram_scores is not None:
-            type_scores = {t: unigram_scores[t] if t < len(unigram_scores) else 0.0
-                           for t in doc_tokens}
-        else:
-            type_scores = {t: 0.0 for t in doc_tokens}
-
-        greedy_matches: List[tuple] = []
-        for n, (s, d) in matches.items():
-            if sort_by_length:
-                order = (-len(n), -s)
-                max_order = (-len(results[doc][4][0]), -results[doc][4][1])
-            elif sort_by_freq:
-                order = (counts.get(tuple(n), 0), -s)
-                max_order = (counts.get(tuple(results[doc][4][0]), 0), -results[doc][4][1])
-            else:
-                order = -s
-                max_order = -results[doc][4][1]
-            for (i, j) in d:
-                heappush(greedy_matches, (-s, n, s, i, j))
-            if order < max_order:
-                results[doc][4] = [n, s]
-
-        current_coverage = set()
-        ngrams_found: List[tuple] = []
-        prev = None
-        free = [True] * len(doc_tokens)
-
-        while greedy_matches:
-            _, n, s, i, j = heappop(greedy_matches)
-            n_set = set(n)
-            if prev == n:
-                new_s = ngrams_found[-1][1]
-            elif not n_set:
-                new_s = 0.0
-            else:
-                new_s = repetition(n_set, s, current_coverage)
-            if new_s <= 0.0:
-                continue
-            if not (allow_overlaps or all(free[i:j])):
-                continue
-            if prev == n:
-                ngrams_found[-1] = (n, new_s)
-            else:
-                prev = n
-                current_coverage |= n_set
-                ngrams_found.append((n, new_s))
-            free[i:j] = [False] * (j - i)
-
-        if unigrams_ignore_free_places:
-            free = [True] * len(free)
-
-        single_key_score = results[doc][4][1]
-        multi_key_score = sum(s for _, s in ngrams_found)
-        unigram_score = 0.0
-        for t, _f in Counter(t for t, b in zip(doc_tokens, free) if b).items():
-            s = type_scores[t]
-            if s > 0.0:
-                n = (t,)
-                s = repetition(set(n), s, current_coverage)
-                if s != 0.0:
-                    unigram_score += s
-                    ngrams_found.append((n, s))
-
-        if single_key_add_unigrams:
-            single_key_score += unigram_score
-        multi_key_score += unigram_score
-
-        results[doc][0] = (1.0 - single_key) * multi_key_score + single_key * single_key_score
-        results[doc][1] = ngrams_found
+                if s > 0.0:
+                    s2 = repetition({t}, s, coverage)
+                    if s2 != 0.0:
+                        uni_total += s2
+                        found.append(((t,), s2))
+            single_sco = best_sco + (uni_total if single_key_add_unigrams else 0.0)
+            multi_sco += uni_total
+            results[doc][0] = (1.0 - single_key) * multi_sco + single_key * single_sco
+            results[doc][1] = found
 
     results = dict(sorted(results.items(), key=lambda x: -x[1][0]))
     return results, all_ngrams

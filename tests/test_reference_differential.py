@@ -147,7 +147,13 @@ def _random_case(rng, vocab=40):
         add_best_unigrams_to_ngrams=bool(rng.random() < 0.3),
         use_top_k_unigrams=int(rng.choice([3, 1000])),
         unigrams_ignore_free_places=bool(rng.random() < 0.3),
+        sort_by_length=bool(rng.random() < 0.25),
+        sort_by_freq=bool(rng.random() < 0.25),
+        allow_overlaps=bool(rng.random() < 0.25),
+        single_key_add_unigrams=bool(rng.random() < 0.25),
     )
+    if knobs["sort_by_length"] and knobs["sort_by_freq"]:
+        knobs["sort_by_freq"] = False
     return index, ngrams_and_scores, unigram_scores, knobs
 
 
