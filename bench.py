@@ -186,7 +186,8 @@ def main():
     print(
         f"# details: compile={compile_s:.1f}s index_build={build_s:.1f}s "
         f"corpus={len(host)} tokens keys/query={n_keys / batch:.0f} "
-        f"steady={per_batch:.2f}s/batch-of-{batch} device={getattr(dev, 'device_kind', '?')}",
+        f"steady={per_batch:.2f}s/batch-of-{batch} device={getattr(dev, 'device_kind', '?')} "
+        f"index_bytes/token={index.memory_bytes() / len(host):.2f}",
         file=sys.stderr,
     )
 

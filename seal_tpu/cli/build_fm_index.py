@@ -83,6 +83,10 @@ def main(argv=None):
     parser.add_argument("--max_vocab", type=int, default=50000)
     parser.add_argument("--lowercase", action="store_true")
     parser.add_argument("--tokenize", action="store_true")
+    parser.add_argument("--in_memory", action="store_true",
+                        help="keep tokenized docs in RAM instead of the "
+                        "packed cache-file flow (reference default is the "
+                        "cache file)")
     args = parser.parse_args(argv)
     print(args)
 
@@ -109,7 +113,9 @@ def main(argv=None):
     sequences = (tokenizer.encode_plain(" " + t.strip()) + [eos] for t in texts)
 
     index = FMIndex()
-    index.initialize(sequences, labels=labels)
+    # cache-file flow (reference index.py:57-65): tokenized docs stream to a
+    # packed temp file, so peak RAM is the text array + suffix-sort workspace
+    index.initialize(sequences, in_memory=args.in_memory, labels=labels)
     index.save(args.output)
     print(f"indexed {index.n_docs} docs, {len(index)} tokens -> {args.output}.fmi.npz")
     return 0

@@ -60,33 +60,40 @@ NEG_INF = float(np.finfo(np.float32).min) / 2  # large-negative, -inf-safe
 
 
 class SingleIndexOps:
-    """Constraint-op adapter over one DeviceFMIndex.
+    """Constraint-op adapter over one device index.
 
     The fused decoder talks to the index only through this interface, so a
     corpus-sharded index can drop in (``seal_tpu.parallel.sharded_decode``:
-    per-shard local ranges + psum/all_gather merges inside shard_map).
+    per-shard local ranges + psum/all_gather merges inside shard_map), and
+    the compact wavelet-tree layout (``seal_tpu.index.wavelet``) swaps in by
+    module dispatch.
     """
 
-    def __init__(self, index: DeviceFMIndex):
+    def __init__(self, index):
+        from seal_tpu.index.wavelet import WaveletFMIndex
+        from seal_tpu.ops import wt_ops
+
         self.index = index
+        self._wt = isinstance(index, WaveletFMIndex)
+        self._ops = wt_ops if self._wt else fm_ops
 
     def full_range(self, shape):
         return self.index.full_range(shape)
 
     def range_for(self, tokens, lengths):
-        return fm_ops.range_for_sequences(self.index, tokens, lengths)
+        return self._ops.range_for_sequences(self.index, tokens, lengths)
 
     def corpus_mask(self):
         return self.index.corpus_counts > 0
 
     def validate(self, tokens, lo, hi):
-        return fm_ops.validate_tokens(self.index, tokens, lo, hi)
+        return self._ops.validate_tokens(self.index, tokens, lo, hi)
 
     def window(self, lo, hi, w):
-        return fm_ops.window_continuations(self.index, lo, hi, w)
+        return self._ops.window_continuations(self.index, lo, hi, w)
 
     def extend(self, tokens, lo, hi):
-        return fm_ops.extend_ranges(self.index, tokens, lo, hi)
+        return self._ops.extend_ranges(self.index, tokens, lo, hi)
 
     def range_size(self, lo, hi):
         return hi - lo
@@ -96,13 +103,17 @@ class SingleIndexOps:
         return (hi - lo) <= w
 
     def bucket_counts(self, lo, hi):
-        return fm_ops.bucket_counts(self.index, lo, hi)
+        return self._ops.bucket_counts(self.index, lo, hi)
 
     def bucket_size(self):
+        if self._wt:
+            from seal_tpu.ops.wt_ops import bucket_size_of
+
+            return bucket_size_of(self.index)
         return self.index.bucket_size
 
     def dense_counts(self, lo, hi, chunk):
-        return fm_ops.dense_counts(self.index, lo, hi, chunk=chunk)
+        return self._ops.dense_counts(self.index, lo, hi, chunk=chunk)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -105,15 +105,22 @@ class DeviceFMIndex:
         index: FMIndex,
         vocab: int | None = None,
         compact: bool = True,
-        keep_sa: bool = True,
+        keep_sa: bool = False,
+        keep_text: bool = False,
     ) -> "DeviceFMIndex":
         """Ship a host-built index to device arrays.
 
         ``vocab`` sizes the step-1 count vector (and dense masks); defaults to
         the corpus alphabet but should be the model's vocab size when used for
-        constrained decoding.  ``compact`` stores the text as uint16 when the
-        shifted alphabet fits (BART's 50k vocab does), cutting the footprint
-        from 12 to 10 bytes/token.
+        constrained decoding.  ``compact`` stores symbols as uint16 when the
+        shifted alphabet fits (BART's 50k vocab does).
+
+        The decode path needs only psi + bwt + bucket_occ (+C/beginnings):
+        **7 bytes/token** at the defaults.  ``keep_sa`` adds the suffix array
+        (device ``locate``, +4 B/token); ``keep_text`` adds the corpus text
+        (device document extraction, +2 B/token).  Host-side ranking keeps
+        its own arrays either way (reference keeps everything in RAM too,
+        ``seal/retrieval.py:552-559``).
         """
         n_rows = index.size()
         if n_rows >= 2**31:
@@ -128,7 +135,7 @@ class DeviceFMIndex:
         text_dtype = jnp.uint16 if (compact and sigma < 2**16) else jnp.int32
         occ, bucket_size = build_bucket_occ(index.bwt, int(vocab) + SHIFT)
         return cls(
-            text=jnp.asarray(index.text, dtype=text_dtype),
+            text=jnp.asarray(index.text, dtype=text_dtype) if keep_text else None,
             sa=jnp.asarray(index.sa, dtype=jnp.int32) if keep_sa else None,
             bwt=jnp.asarray(index.bwt, dtype=text_dtype),
             psi=jnp.asarray(index.psi, dtype=jnp.int32),

@@ -73,10 +73,16 @@ class FMIndex:
     ) -> None:
         """Build the index from an iterable of token-id lists.
 
-        Parity: reference ``index.py:39-66``.  ``in_memory`` is accepted for
-        API compatibility; the dense build always streams through NumPy.
+        Parity: reference ``index.py:39-66``.  ``in_memory=False`` streams
+        each (reversed, shifted) document to a packed-int temp file and
+        builds from it via ``initialize_from_file`` -- no per-document
+        Python lists are retained, so peak RAM is the final text array plus
+        the suffix-sort workspace (the reference's cache-file flow,
+        ``index.py:57-65`` -> ``fm_index.cpp:43-48``).
         """
-        del in_memory
+        if not in_memory:
+            self._initialize_streaming(sequences, labels)
+            return
         chunks: List[np.ndarray] = []
         occurring: set = set()
         for seq in sequences:
@@ -129,6 +135,60 @@ class FMIndex:
         self._finish_build(text)
         if labels is not None:
             self.labels = list(labels)
+
+    def _initialize_streaming(self, sequences, labels=None) -> None:
+        import tempfile
+
+        BUFSZ = 1 << 22  # flush every ~16 MiB of packed ints
+        fd, path = tempfile.mkstemp(suffix=".fmtoks")
+        try:
+            buf: List[np.ndarray] = []
+            buffered = 0
+            with os.fdopen(fd, "wb") as f:
+                for seq in sequences:
+                    arr = np.asarray(seq, dtype=np.int64)
+                    if arr.size == 0:
+                        raise ValueError("empty documents are not supported")
+                    if arr.min() < 0:
+                        raise ValueError("token ids must be non-negative")
+                    self.beginnings.append(self.beginnings[-1] + int(arr.size))
+                    buf.append((arr[::-1] + SHIFT).astype("<i4"))
+                    buffered += arr.size
+                    if buffered >= BUFSZ:
+                        f.write(np.concatenate(buf).tobytes())
+                        buf, buffered = [], 0
+                if buf:
+                    f.write(np.concatenate(buf).tobytes())
+            if len(self.beginnings) == 1:
+                raise ValueError("no documents given")
+            self.initialize_from_file(path, width=4, _beginnings_set=True)
+        finally:
+            os.unlink(path)
+        if labels is not None:
+            self.labels = list(labels)
+
+    def initialize_from_file(
+        self, path: str, width: int = 4, _beginnings_set: bool = False
+    ) -> None:
+        """Build from a packed little-endian int file of *shifted*,
+        per-document-reversed tokens (no sentinel; appended here).
+
+        Wire parity with the reference C++ layer (``fm_index.cpp:43-48``);
+        the byte format is exactly what ``initialize(..., in_memory=False)``
+        streams (reference ``index.py:57-65``).  Like the reference method,
+        this builds only the index structures -- document ``beginnings`` are
+        the caller's (unless this is the internal streaming flow, or the
+        file is treated as a single document).
+        """
+        dtype = {4: "<i4", 8: "<i8"}[int(width)]
+        data = np.fromfile(path, dtype=dtype).astype(np.int32)
+        if data.size and data.min() < SHIFT:
+            raise ValueError("file must contain shifted (>0) symbols")
+        text = np.concatenate([data, np.zeros(1, np.int32)])
+        if not _beginnings_set and len(self.beginnings) == 1:
+            self.beginnings = [0, int(data.size)]
+        self._finish_build(text)
+        self.occurring = self.occurring_distinct.copy()
 
     def _finish_build(self, text: np.ndarray) -> None:
         self.text = np.ascontiguousarray(text, dtype=np.int32)

@@ -137,9 +137,9 @@ def _jitted_sharded_search(model_cfg, dcfg: DecodeConfig, mesh: Mesh, statics):
     bart = model_api.module_for(model_cfg)
     n_rows_pad, sigma, vocab, n_docs_pad, search_iters, bucket_size = statics
 
-    def per_shard(text, sa, psi, C, beg, n_rows, bocc, counts, params, ids, mask, key):
+    def per_shard(bwt, psi, C, beg, n_rows, bocc, counts, params, ids, mask, key):
         dev = DeviceFMIndex(
-            text=text[0], sa=sa[0], psi=psi[0], bwt=None, C=C[0], beginnings=beg[0],
+            text=None, sa=None, psi=psi[0], bwt=bwt[0], C=C[0], beginnings=beg[0],
             corpus_counts=counts, bucket_occ=bocc[0],
             n_rows=n_rows_pad, sigma=sigma, vocab=vocab, n_docs=n_docs_pad,
             search_iters=search_iters, bucket_size=bucket_size,
@@ -155,13 +155,13 @@ def _jitted_sharded_search(model_cfg, dcfg: DecodeConfig, mesh: Mesh, statics):
             per_shard,
             mesh=mesh,
             in_specs=(
-                P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
                 P(), P(), P(), P(), P(),
             ),
             out_specs=P(),
         )
         return fn(
-            si.text, si.sa, si.psi, si.C, si.beginnings, si.n_rows, si.bucket_occ,
+            si.bwt, si.psi, si.C, si.beginnings, si.n_rows, si.bucket_occ,
             si.corpus_counts, params, ids, mask, key,
         )
 
@@ -219,7 +219,7 @@ def sharded_fm_index_generate(
     if kwargs:
         raise TypeError(f"unexpected kwargs: {sorted(kwargs)}")
     statics = (
-        sharded_index.text.shape[1],
+        sharded_index.bwt.shape[1],
         sharded_index.C.shape[1] - 1,
         sharded_index.vocab,
         sharded_index.beginnings.shape[1] - 1,

@@ -37,8 +37,7 @@ class ShardedFMIndex:
     ``PartitionSpec('data', ...)`` so each device holds exactly its shard.
     """
 
-    text: Any  # int32 [S, N_max]
-    sa: Any  # int32 [S, N_max]
+    bwt: Any  # uint16/int32 [S, N_max]  shifted BWT symbols per shard
     psi: Any  # int32 [S, N_max]
     C: Any  # int32 [S, sigma_max+1]
     n_rows: Any  # int32 [S]  true rows per shard
@@ -91,8 +90,10 @@ class ShardedFMIndex:
             out[: len(a)] = a
             return out
 
-        text = np.stack([pad1(h.text, n_max) for h in hosts])
-        sa = np.stack([pad1(h.sa.astype(np.int32), n_max) for h in hosts])
+        # decode needs only bwt (window/bucket symbols) + psi (rank) per
+        # shard -- 6 bytes/token; host FMIndexes keep text/SA for ranking
+        sym_dtype = np.uint16 if (vocab + SHIFT) < 2**16 else np.int32
+        bwt = np.stack([pad1(h.bwt.astype(sym_dtype), n_max) for h in hosts])
         psi = np.stack([pad1(h.psi.astype(np.int32), n_max) for h in hosts])
         # pad C by repeating the final cumulative count so lookups for
         # symbols >= shard sigma yield empty ranges
@@ -130,8 +131,7 @@ class ShardedFMIndex:
 
         doc_offset = np.zeros(n_shards, np.int32)  # global ids via assignment
         sharded = cls(
-            text=jnp.asarray(text),
-            sa=jnp.asarray(sa),
+            bwt=jnp.asarray(bwt),
             psi=jnp.asarray(psi),
             C=jnp.asarray(C),
             n_rows=jnp.asarray([h.size() for h in hosts], jnp.int32),
@@ -151,10 +151,10 @@ class ShardedFMIndex:
     def shard_view(self, s: int) -> DeviceFMIndex:
         """A single shard as a DeviceFMIndex (host-side convenience)."""
         return DeviceFMIndex(
-            text=self.text[s],
-            sa=self.sa[s],
+            text=None,
+            sa=None,
             psi=self.psi[s],
-            bwt=None,
+            bwt=self.bwt[s],
             C=self.C[s],
             beginnings=self.beginnings[s],
             corpus_counts=self.corpus_counts,
@@ -178,8 +178,7 @@ class ShardedFMIndex:
             return jax.device_put(a, sharded)
 
         return self.replace(
-            text=put("text", self.text),
-            sa=put("sa", self.sa),
+            bwt=put("bwt", self.bwt),
             psi=put("psi", self.psi),
             C=put("C", self.C),
             n_rows=put("n_rows", self.n_rows),
@@ -257,21 +256,21 @@ class UnionHostIndex:
 
 
 def _shard_device_index(
-    si: ShardedFMIndex, s_text, s_sa, s_psi, s_C, s_beg, n_rows, s_bucket_occ=None
+    si: ShardedFMIndex, s_bwt, s_psi, s_C, s_beg, n_rows, s_bucket_occ=None
 ):
     """A DeviceFMIndex view of one shard inside shard_map (arrays are the
     per-device blocks; n_rows is the shard's true row count as a traced
     scalar folded into the query ops via masking)."""
     return DeviceFMIndex(
-        text=s_text,
-        sa=s_sa,
+        text=None,
+        sa=None,
         psi=s_psi,
-        bwt=None,
+        bwt=s_bwt,
         C=s_C,
         beginnings=s_beg,
         corpus_counts=si.corpus_counts,
         bucket_occ=s_bucket_occ,
-        n_rows=si.text.shape[1],  # static padded size; C caps real ranges
+        n_rows=si.bwt.shape[1],  # static padded size; C caps real ranges
         sigma=si.C.shape[1] - 1,
         vocab=si.vocab,
         n_docs=si.beginnings.shape[1] - 1,
@@ -287,10 +286,10 @@ def sharded_count_sequences(si: ShardedFMIndex, mesh: Mesh, tokens, lengths):
     """
     from jax.experimental.shard_map import shard_map
 
-    def per_shard(s_text, s_sa, s_psi, s_C, s_beg, s_nrows, toks, lens):
+    def per_shard(s_bwt, s_psi, s_C, s_beg, s_nrows, toks, lens):
         # drop the leading singleton shard dim of each block
         dev = _shard_device_index(
-            si, s_text[0], s_sa[0], s_psi[0], s_C[0], s_beg[0], s_nrows[0]
+            si, s_bwt[0], s_psi[0], s_C[0], s_beg[0], s_nrows[0]
         )
         # the padded rows beyond the shard's true size never enter ranges:
         # initial range must be [0, true_n_rows)
@@ -314,13 +313,13 @@ def sharded_count_sequences(si: ShardedFMIndex, mesh: Mesh, tokens, lengths):
         per_shard,
         mesh=mesh,
         in_specs=(
-            P("data"), P("data"), P("data"), P("data"), P("data"), P("data"),
+            P("data"), P("data"), P("data"), P("data"), P("data"),
             P(), P(),
         ),
         out_specs=P(),
     )
     return fn(
-        si.text, si.sa, si.psi, si.C, si.beginnings, si.n_rows,
+        si.bwt, si.psi, si.C, si.beginnings, si.n_rows,
         jnp.asarray(tokens, jnp.int32), jnp.asarray(lengths, jnp.int32),
     )
 
@@ -333,9 +332,9 @@ def sharded_allowed_mask(si: ShardedFMIndex, mesh: Mesh, tokens, lengths, cand_t
     """
     from jax.experimental.shard_map import shard_map
 
-    def per_shard(s_text, s_sa, s_psi, s_C, s_beg, s_nrows, toks, lens, cands):
+    def per_shard(s_bwt, s_psi, s_C, s_beg, s_nrows, toks, lens, cands):
         dev = _shard_device_index(
-            si, s_text[0], s_sa[0], s_psi[0], s_C[0], s_beg[0], s_nrows[0]
+            si, s_bwt[0], s_psi[0], s_C[0], s_beg[0], s_nrows[0]
         )
         # initial lo is built from replicated operands: mark it varying over
         # the shard axis so the scan carry type matches the in-loop values
@@ -358,13 +357,13 @@ def sharded_allowed_mask(si: ShardedFMIndex, mesh: Mesh, tokens, lengths, cand_t
         per_shard,
         mesh=mesh,
         in_specs=(
-            P("data"), P("data"), P("data"), P("data"), P("data"), P("data"),
+            P("data"), P("data"), P("data"), P("data"), P("data"),
             P(), P(), P(),
         ),
         out_specs=P(),
     )
     return fn(
-        si.text, si.sa, si.psi, si.C, si.beginnings, si.n_rows,
+        si.bwt, si.psi, si.C, si.beginnings, si.n_rows,
         jnp.asarray(tokens, jnp.int32),
         jnp.asarray(lengths, jnp.int32),
         jnp.asarray(cand_tokens, jnp.int32),

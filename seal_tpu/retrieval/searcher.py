@@ -100,6 +100,7 @@ class SEALSearcher:
         "speculative": False,  # opt-in: single approximate proposal round
         #   (default is the exact proposal loop: dense-mask semantics)
         "exact_mask": False,  # dense O(vocab) constraint mask (parity mode)
+        "compact_index": False,  # wavelet-tree device index (~2.6 B/token)
         "pipeline": True,  # overlap device generation with host aggregation
     }
 
@@ -128,14 +129,20 @@ class SEALSearcher:
         self.mesh = mesh
         if sharded_index is not None:
             self.device_index = device_index  # unused in sharded mode
+        elif device_index is not None:
+            self.device_index = device_index
+        elif kwargs.get("compact_index", self.DEFAULTS["compact_index"]):
+            # capacity mode: ~2.6 B/token wavelet-tree layout (vs ~7 for
+            # Psi+BWT) at ~3x the per-query gather depth
+            from seal_tpu.index.wavelet import WaveletFMIndex
+
+            self.device_index = WaveletFMIndex.from_host(
+                fm_index, vocab=model_cfg.vocab_size
+            )
         else:
-            self.device_index = (
-                device_index
-                if device_index is not None
-                # decode never locates on device; dropping SA saves 4 B/token
-                else DeviceFMIndex.from_host(
-                    fm_index, vocab=model_cfg.vocab_size, keep_sa=False
-                )
+            # decode never locates on device; SA/text stay host-side
+            self.device_index = DeviceFMIndex.from_host(
+                fm_index, vocab=model_cfg.vocab_size
             )
         self.docid2idx = (
             {k: i for i, k in enumerate(fm_index.labels)} if fm_index.labels else {}

@@ -19,7 +19,8 @@ def setup():
     ]
     host = FMIndex()
     host.initialize(docs)
-    dev = DeviceFMIndex.from_host(host, vocab=40)
+    # keep the optional arrays so locate/text-derived paths are exercised
+    dev = DeviceFMIndex.from_host(host, vocab=40, keep_sa=True, keep_text=True)
     return host, dev, docs, rng
 
 
