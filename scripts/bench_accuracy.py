@@ -1,0 +1,153 @@
+"""Retrieval-accuracy benchmark across constraint modes (VERDICT round-1
+item 6: measure accuracy, not hypothesis overlap).
+
+Trains ``bart_tiny`` on supervised (query -> span) pairs over a synthetic
+topical corpus, then reports acc@1/5/20 of full ``batch_search`` for:
+
+* the default exact proposal loop (provably == dense reference masks),
+* the round-1 speculative mode at default (256/128) and quarter (64/32)
+  budgets,
+* the corpus-sharded decoder on an 8-way virtual CPU mesh (exact mode).
+
+Runs on CPU; ~5 minutes.  Results are recorded in PARITY.md.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from seal_tpu.index import FMIndex
+    from seal_tpu.models.config import bart_tiny
+    from seal_tpu.models.tokenizer import WordVocabTokenizer
+    from seal_tpu.retrieval.searcher import SEALSearcher
+    from seal_tpu.training import trainer
+
+    rng = np.random.default_rng(0)
+    # confusable topics: unordered word pairs from a small pool, so ranking
+    # has to separate documents that share half their key vocabulary
+    pool = [f"theme{i}" for i in range(12)]
+    topics = [f"{pool[i]} {pool[j]}" for i in range(12) for j in range(i + 1, 12)][:64]
+    n_topics = len(topics)
+    filler = [f"w{i}" for i in range(400)]
+    bodies = {
+        t: f"all about {t} and the {t} facts "
+        + " ".join(rng.choice(filler, size=40))
+        for t in topics
+    }
+    texts = [f"{t.title()} @@ {bodies[t]}" for t in topics]
+    # distractor docs push corpus size so the log-odds prior is meaningful
+    texts += [
+        f"Filler{i} @@ " + " ".join(rng.choice(filler, size=50)) for i in range(300)
+    ]
+    labels = [f"t{i}" for i in range(n_topics)] + [f"f{i}" for i in range(300)]
+    gold = dict(zip(topics, labels[:n_topics]))
+    queries = {t: f"tell me about {t} please" for t in topics}
+
+    tok = WordVocabTokenizer.train(
+        [" " + x for x in texts] + [" " + q + " || body || +" for q in queries.values()]
+    )
+    docs = [tok.encode_plain(" " + x) + [tok.eos_token_id] for x in texts]
+    index = FMIndex()
+    index.initialize(docs, labels=labels)
+    print(f"# corpus: {len(index)} tokens, {index.n_docs} docs", file=sys.stderr)
+
+    cfg = bart_tiny(vocab_size=tok.vocab_size)
+    tcfg = trainer.TrainConfig(learning_rate=3e-3, warmup_steps=10, total_steps=4000)
+    params, opt_state = trainer.init_train_state(cfg, tcfg, jax.random.PRNGKey(0))
+    step_fn, _ = trainer.make_train_step(cfg, tcfg)
+    step_fn = jax.jit(step_fn)
+
+    pairs = []
+    for t in topics:
+        src = tok.encode(" " + queries[t] + " || body || +")
+        tgt = tok.encode_plain(f" all about {t} and the {t}")
+        pairs.append((src, tgt))
+
+    def batch_of(idxs):
+        ls = max(len(pairs[i][0]) for i in idxs)
+        lt = max(len(pairs[i][1]) for i in idxs) + 1
+        b = {
+            "src_ids": np.full((len(idxs), ls), cfg.pad_token_id, np.int32),
+            "src_mask": np.zeros((len(idxs), ls), np.int32),
+            "tgt_in": np.full((len(idxs), lt), cfg.pad_token_id, np.int32),
+            "tgt_out": np.full((len(idxs), lt), cfg.pad_token_id, np.int32),
+        }
+        for r, i in enumerate(idxs):
+            s, t = pairs[i]
+            b["src_ids"][r, : len(s)] = s
+            b["src_mask"][r, : len(s)] = 1
+            b["tgt_in"][r, 0] = cfg.decoder_start_token_id
+            b["tgt_in"][r, 1 : len(t) + 1] = t
+            b["tgt_out"][r, : len(t)] = t
+        return b
+
+    t0 = time.time()
+    loss = None
+    for step in range(int(os.environ.get("ACC_TRAIN_STEPS", 150))):
+        idxs = rng.choice(len(pairs), size=8).tolist()
+        params, opt_state, loss = step_fn(params, opt_state, batch_of(idxs))
+    print(f"# trained in {time.time()-t0:.0f}s, loss {float(loss):.2f}",
+          file=sys.stderr)
+
+    common = dict(
+        backbone="word-vocab",
+        beam=6,
+        length=6,
+        batch_size=8,
+        decode_titles=False,
+        add_query_to_keys=False,
+        unigram_scores=False,
+        min_length=0,
+    )
+    qlist = [queries[t] for t in topics]
+
+    def accuracy(searcher):
+        res = searcher.batch_search(qlist, k=20)
+        acc = {1: 0, 5: 0, 20: 0}
+        for t, hits in zip(topics, res):
+            ids = [h.docid for h in hits]
+            for k in acc:
+                acc[k] += int(gold[t] in ids[:k])
+        return {k: v / n_topics for k, v in acc.items()}
+
+    modes = {}
+    modes["exact (default)"] = accuracy(
+        SEALSearcher(index, tok, cfg, params, **common)
+    )
+    modes["speculative 256/128"] = accuracy(
+        SEALSearcher(index, tok, cfg, params, speculative=True,
+                     top_m=256, window=128, **common)
+    )
+    modes["speculative 64/32"] = accuracy(
+        SEALSearcher(index, tok, cfg, params, speculative=True,
+                     top_m=64, window=32, **common)
+    )
+
+    # sharded exact over an 8-way virtual mesh
+    from seal_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh(n_data=8, n_model=1, devices=jax.devices()[:8])
+    sharded = SEALSearcher.build_sharded(
+        docs, labels, tok, cfg, params, mesh=mesh, n_shards=8, **common
+    )
+    modes["sharded exact (8 shards)"] = accuracy(sharded)
+
+    print(f"{'mode':<28} acc@1   acc@5   acc@20")
+    for name, acc in modes.items():
+        print(f"{name:<28} {acc[1]:.3f}   {acc[5]:.3f}   {acc[20]:.3f}")
+
+
+if __name__ == "__main__":
+    main()
