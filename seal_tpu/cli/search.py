@@ -42,6 +42,10 @@ def main(argv=None):
     parser.add_argument("--chunked", type=int, default=0)
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax device trace into this directory")
+    parser.add_argument("--multihost", action="store_true", default=False,
+                        help="init jax.distributed (coordinator from env); "
+                        "each process serves its slice of the topics and "
+                        "writes <output>.<process_id>")
     SEALSearcher.add_args(parser)
     args = parser.parse_args(argv)
     print(args)
@@ -53,9 +57,30 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", args.device.split(":")[0])
 
+    output_path = args.output
+    if args.multihost:
+        from seal_tpu.parallel import multihost
+
+        multihost.init_distributed()
+        import jax
+
+        if jax.process_count() > 1:
+            output_path = f"{args.output}.{jax.process_index()}"
+
     query_iterator = get_query_iterator(args.topics, TopicsFormat(args.topics_format))
+    if args.multihost:
+        import jax
+
+        if jax.process_count() > 1:
+            from seal_tpu.parallel.multihost import process_slice
+
+            start, end = process_slice(len(query_iterator.order))
+            query_iterator.order = query_iterator.order[start:end]
+            query_iterator.topics = {
+                t: query_iterator.topics[t] for t in query_iterator.order
+            }
     output_writer = get_output_writer(
-        args.output,
+        output_path,
         OutputFormat(args.output_format),
         "w",
         max_hits=args.hits,
@@ -101,6 +126,7 @@ def main(argv=None):
                     topic_ids, searcher.batch_search(list(texts), k=args.hits)
                 ):
                     output_writer.write(topic_id, hits)
+    searcher.metrics.log_snapshot()
     return 0
 
 

@@ -15,7 +15,7 @@ import ast
 import csv
 import json
 from enum import Enum, unique
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 from seal_tpu.retrieval.document import SEALDocument
 
@@ -235,38 +235,58 @@ class MsMarcoWriter(OutputWriter):
             self._file.write(f"{topic}\t{docid}\t{rank}\n")
 
 
+def _parse_kilt_docid(docid: str) -> Tuple[int, int, int]:
+    """``"wid"`` / ``"wid-par"`` / ``"wid-p0-p1"`` ->
+    (wikipedia_id, start_paragraph_id, end_paragraph_id)."""
+    wid, *pars = str(docid).split("-")
+    if not pars:
+        return int(wid), 0, 0
+    start = int(pars[0])
+    return int(wid), start, int(pars[1]) if len(pars) > 1 else start
+
+
 class KiltWriter(OutputWriter):
     """KILT jsonl with wikipedia provenance parsed from ``docid`` ("wid" or
     "wid-par" or "wid-p0-p1"; parity: reference ``data.py:106-136``)."""
 
+    def _provenance(self, docid, score: float, hit) -> dict:
+        wikipedia_id, start_par, end_par = _parse_kilt_docid(docid)
+        title, body = hit.text()
+        entry = {
+            "wikipedia_id": wikipedia_id,
+            "start_paragraph_id": start_par,
+            "end_paragraph_id": end_par,
+            "text": f"{title} @@ {body}",
+            "score": score,
+        }
+        if hit.keys is not None:
+            entry["meta"] = {"keys": hit.keys}
+        return entry
+
     def write(self, topic, hits):
-        provenance = []
-        datapoint = {"id": topic, "input": None, "output": [{"provenance": provenance}]}
-        for docid, rank, score, hit in self.hits_iterator(hits):
-            if isinstance(hit, SEALDocument):
-                if datapoint["input"] is None and hit.query is not None:
-                    datapoint["input"] = hit.query
-                parts = str(docid).split("-")
-                wikipedia_id = int(parts[0])
-                start_paragraph_id = end_paragraph_id = 0
-                if len(parts) == 2:
-                    start_paragraph_id = end_paragraph_id = int(parts[1])
-                elif len(parts) >= 3:
-                    start_paragraph_id = int(parts[1])
-                    end_paragraph_id = int(parts[2])
-                title, body = hit.text()
-                entry = {
-                    "wikipedia_id": wikipedia_id,
-                    "start_paragraph_id": start_paragraph_id,
-                    "end_paragraph_id": end_paragraph_id,
-                    "text": f"{title} @@ {body}",
-                    "score": score,
+        ranked = list(self.hits_iterator(hits))
+        query = next(
+            (
+                h.query
+                for _d, _r, _s, h in ranked
+                if isinstance(h, SEALDocument) and h.query is not None
+            ),
+            None,
+        )
+        datapoint = {
+            "id": topic,
+            "input": query,
+            "output": [
+                {
+                    "provenance": [
+                        self._provenance(d, s, h)
+                        if isinstance(h, SEALDocument)
+                        else {"wikipedia_id": d}
+                        for d, _r, s, h in ranked
+                    ]
                 }
-                if hit.keys is not None:
-                    entry["meta"] = {"keys": hit.keys}
-                provenance.append(entry)
-            else:
-                provenance.append({"wikipedia_id": docid})
+            ],
+        }
         json.dump(datapoint, self._file)
         self._file.write("\n")
 
@@ -279,20 +299,22 @@ class DprWriter(OutputWriter):
         super().__init__(*args, **kwargs)
         self.order: List = []
 
+    @staticmethod
+    def _ctx(docid, score: float, hit) -> dict:
+        title, body = hit.text()
+        return {
+            "title": title.strip(),
+            "text": body.strip(),
+            "score": score,
+            "passage_id": docid,
+        }
+
     def write(self, topic, hits):
-        datapoint = self.topics[topic]
         self.order.append(topic)
-        ctxs = datapoint["ctxs"] = []
-        for docid, rank, score, hit in self.hits_iterator(hits):
-            title, body = hit.text()
-            ctxs.append(
-                {
-                    "title": title.strip(),
-                    "text": body.strip(),
-                    "score": score,
-                    "passage_id": docid,
-                }
-            )
+        self.topics[topic]["ctxs"] = [
+            self._ctx(docid, score, hit)
+            for docid, _rank, score, hit in self.hits_iterator(hits)
+        ]
 
     def __exit__(self, exc_type, exc_value, exc_traceback):
         data = [self.topics[t] for t in self.order]

@@ -102,6 +102,10 @@ class SingleIndexOps:
         """True where the w-row window enumerates the whole interval."""
         return (hi - lo) <= w
 
+    def interval_covered(self, lo, hi, rows_done):
+        """True where the first ``rows_done`` rows enumerate all of [lo, hi)."""
+        return (hi - lo) <= rows_done
+
     def bucket_counts(self, lo, hi):
         return self._ops.bucket_counts(self.index, lo, hi)
 
@@ -268,27 +272,42 @@ def _candidates_general(
 def _exact_proposals(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, pad_lp):
     """Per beam, the ``n_buf`` best *allowed* tokens by LM log-prob -- exact.
 
-    Iterates exact top-``top_m`` chunks of the (not yet examined) LM
-    distribution, validating each chunk with rank queries, until every beam
-    either holds ``n_buf`` validated tokens (all unexamined tokens score
-    lower -> provably sufficient for the global top-2K selection), is
-    window-exhaustive, needs no enumeration (finished / stop-forced), or the
-    vocab is exhausted.  This is the device equivalent of the reference's
-    exact ``interval_symbols`` masks (``fm_index.cpp:78-131``) at a cost
-    that collapses to one proposal round on natural LM distributions.
+    Each round does two sweeps in parallel: an exact top-``chunk`` slice of
+    the not-yet-examined LM distribution (validated with rank queries) and a
+    ``chunk``-row slab of the interval's own BWT rows (allowed by
+    construction).  A beam terminates as soon as ANY of these hold:
+
+    * ``n_buf`` validated tokens -- all unexamined tokens score lower, so
+      the buffer is provably the top-``n_buf`` allowed set;
+    * its interval is fully slab-enumerated -- the buffer holds every
+      distinct continuation (top-``n_buf`` of them by lp);
+    * it is window-exhaustive / finished / stop-forced (no enumeration
+      needed);
+    * the pruned LM support is exhausted (``dead``).
+
+    Worst-case rounds per step = min(support/chunk, interval/chunk); on
+    natural LM distributions the LM sweep satisfies everything in one round.
+    This is the device equivalent of the reference's exact
+    ``interval_symbols`` masks (``fm_index.cpp:78-131``).
     """
     B, K, V = lp.shape
     two_k = 2 * cfg.num_beams
     # sampling draws from the whole allowed distribution, so give it the
     # full top_m budget; beam modes only ever select 2K candidates
     n_buf = max(two_k, cfg.top_m) if cfg.sample else two_k
-    chunk = min(cfg.exact_chunk, V)
+    # a chunk must be able to fill the buffer in one round at realistic
+    # validation rates; n_buf == chunk would demand a perfect round
+    chunk = min(V, max(cfg.exact_chunk, 2 * n_buf))
 
     count_eff = jnp.where(finished, 0, prev_count)
     stop_trig = (cfg.stop_at_count > 0) & (count_eff <= cfg.stop_at_count)
     exempt = finished | stop_trig | ops.window_exhaustive(lo, hi, cfg.window)
 
-    def prune(lp_work):
+    from seal_tpu.index.fm_index import SHIFT
+
+    v_idx = jnp.arange(V, dtype=jnp.int32)
+
+    def proposal_lp(it):
         # Bucket-level support pruning, deferred to the moment a second
         # proposal round is actually needed: a token whose symbol bucket has
         # zero occurrences in [lo, hi) cannot continue the range, so masking
@@ -297,54 +316,95 @@ def _exact_proposals(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, p
         # few distinct continuations, all unlikely under the LM).  The first
         # round runs on the raw distribution (its exact top-chunk is a
         # superset of the pruned one), so satisfied steps never pay for it.
-        from seal_tpu.index.fm_index import SHIFT
+        def pruned(_):
+            bcounts = ops.bucket_counts(lo, hi)  # [B, K, n_buckets]
+            v_bucket = (v_idx + SHIFT) // ops.bucket_size()
+            support = jnp.take(bcounts, v_bucket, axis=-1) > 0  # [B, K, V]
+            return jnp.where(support, lp, NEG_INF)
 
-        bcounts = ops.bucket_counts(lo, hi)  # [B, K, n_buckets]
-        v_bucket = (jnp.arange(V, dtype=jnp.int32) + SHIFT) // ops.bucket_size()
-        support = jnp.take(bcounts, v_bucket, axis=-1) > 0  # [B, K, V]
-        return jnp.where(support, lp_work, NEG_INF)
+        return lax.cond(it >= 1, pruned, lambda _: lp, None)
 
     buf_tok = jnp.full((B, K, n_buf), 0, jnp.int32)
     buf_lp = jnp.full((B, K, n_buf), NEG_INF, jnp.float32)
     buf_valid = jnp.zeros((B, K, n_buf), bool)
     dead0 = jnp.zeros((B, K), bool)  # proposal space exhausted
-    b_idx = jnp.arange(B)[:, None, None]
-    k_idx = jnp.arange(K)[None, :, None]
+    # Consumed-prefix threshold: every round consumes a further prefix of the
+    # per-beam (lp desc, token asc) order -- lax.top_k's exact tie-break --
+    # so "already examined" is one (lp, token) pair per beam.  Masking by
+    # comparison against it replaces the round-1 design's scatter of consumed
+    # slots into a carried [B, K, V] tensor: no scatter op (slow on TPU) and
+    # ~400 MB less loop-carried HBM traffic at the beam-32/batch-64 config.
+    th_lp0 = jnp.full((B, K), jnp.inf, jnp.float32)
+    th_ix0 = jnp.full((B, K), -1, jnp.int32)
+    covered0 = ops.interval_covered(lo, hi, 0)
 
     def cond(state):
-        lp_work, buf_tok, buf_lp, buf_valid, dead, it = state
+        th_lp, th_ix, buf_tok, buf_lp, buf_valid, dead, covered, it = state
         n_valid = buf_valid.sum(-1)
-        need = ~exempt & ~dead & (n_valid < n_buf)
+        need = ~exempt & ~dead & ~covered & (n_valid < n_buf)
         return jnp.any(need) & (it * chunk < V)
 
     def body(state):
-        lp_work, buf_tok, buf_lp, buf_valid, dead, it = state
-        lp_work = lax.cond(it == 1, prune, lambda x: x, lp_work)
-        top_lp, top_tok = lax.top_k(lp_work.reshape(B * K, V), chunk)
+        th_lp, th_ix, buf_tok, buf_lp, buf_valid, dead, covered, it = state
+        base = proposal_lp(it)
+        consumed = (base > th_lp[..., None]) | (
+            (base == th_lp[..., None]) & (v_idx <= th_ix[..., None])
+        )
+        work = jnp.where(consumed, NEG_INF, base)
+        top_lp, top_tok = lax.top_k(work.reshape(B * K, V), chunk)
         top_tok = top_tok.reshape(B, K, chunk).astype(jnp.int32)
         top_lp = top_lp.reshape(B, K, chunk)
         counts = ops.validate(top_tok, lo, hi)
-        # consumed slots carry NEG_INF; exclude them (and true -inf logits)
+        # exhausted slots carry NEG_INF; exclude them (and true -inf logits)
         valid = (counts > 0) & (top_lp > NEG_INF / 2)
-        # merge: back-fill the buffer with this chunk's validated tokens.
+
+        # Interval slab: round ``it`` also enumerates the interval's BWT rows
+        # [lo + it*chunk, lo + (it+1)*chunk) directly (every symbol there IS
+        # an allowed continuation -- no validation needed).  A beam whose
+        # interval has fewer than n_buf distinct continuations can never fill
+        # the buffer from the LM sweep; the slab guarantees it terminates in
+        # ceil(interval/chunk) rounds with the provably complete distinct set
+        # instead of grinding through its whole bucket-support footprint
+        # (the beam-32 pathological case: many rows, few distinct symbols,
+        # none of them LM-likely).
+        s_lo = jnp.minimum(lo + it * chunk, hi)
+        s_hi = jnp.minimum(s_lo + chunk, hi)
+        slab_tok, slab_ok = ops.window(s_lo, s_hi, chunk)
+        slab_tok = jnp.where(slab_ok, slab_tok, 0).astype(jnp.int32)
+        slab_lp = jnp.take_along_axis(lp, slab_tok, axis=-1)
+        slab_ok = slab_ok & (slab_lp > NEG_INF / 2)
+
+        # merge: back-fill the buffer with this round's validated tokens.
         # lp is globally descending across chunks and lax.top_k breaks score
         # ties by lower index, so buffer order stays (lp desc, token asc) --
-        # the same candidate ordering the dense parity mode produces.
-        all_tok = jnp.concatenate([buf_tok, top_tok], -1)
-        all_lp = jnp.concatenate([buf_lp, top_lp], -1)
-        all_valid = jnp.concatenate([buf_valid, valid], -1)
-        rank_score = jnp.where(all_valid, all_lp, NEG_INF)
+        # the same candidate ordering the dense parity mode produces.  Slabs
+        # may repeat a token (several rows, or one the LM sweep already
+        # holds): collapse duplicates, uniquifying invalid slots out of the
+        # way first so a dead slot's arbitrary token id cannot shadow a
+        # genuinely valid copy.
+        all_tok = jnp.concatenate([buf_tok, top_tok, slab_tok], -1)
+        all_lp = jnp.concatenate([buf_lp, top_lp, slab_lp], -1)
+        all_valid = jnp.concatenate([buf_valid, valid, slab_ok], -1)
+        uniq = jnp.where(
+            all_valid,
+            all_tok,
+            V + jnp.arange(all_tok.shape[-1], dtype=jnp.int32),
+        )
+        fresh = _dedup_mask(uniq)
+        rank_score = jnp.where(all_valid & fresh, all_lp, NEG_INF)
         _, keep = lax.top_k(rank_score, n_buf)
         buf_tok = jnp.take_along_axis(all_tok, keep, -1)
         buf_lp = jnp.take_along_axis(all_lp, keep, -1)
-        buf_valid = jnp.take_along_axis(all_valid, keep, -1)
-        lp_work = lp_work.at[b_idx, k_idx, top_tok].set(NEG_INF)
-        # nothing proposable remains once the chunk's best slot is consumed
+        buf_valid = jnp.take_along_axis(all_valid & fresh, keep, -1)
+        th_lp = top_lp[..., -1]
+        th_ix = top_tok[..., -1]
+        # nothing proposable remains once the chunk's best slot is exhausted
         dead = top_lp[..., 0] <= NEG_INF / 2
-        return lp_work, buf_tok, buf_lp, buf_valid, dead, it + 1
+        covered = ops.interval_covered(lo, hi, (it + 1) * chunk)
+        return th_lp, th_ix, buf_tok, buf_lp, buf_valid, dead, covered, it + 1
 
-    state = (lp, buf_tok, buf_lp, buf_valid, dead0, jnp.int32(0))
-    _, buf_tok, buf_lp, buf_valid, _, _ = lax.while_loop(cond, body, state)
+    state = (th_lp0, th_ix0, buf_tok, buf_lp, buf_valid, dead0, covered0, jnp.int32(0))
+    _, _, buf_tok, buf_lp, buf_valid, _, _, _ = lax.while_loop(cond, body, state)
 
     # unfilled slots become PAD candidates at PAD's true log-prob, matching
     # what the dense mode scores for the finished->PAD branch

@@ -43,11 +43,14 @@ def pad_batch(seqs: Sequence[Sequence[int]], pad_id: int, multiple: int = 8):
 def _jitted_search(model_cfg: BartConfig, dcfg: DecodeConfig, mesh=None):
     """Jitted encoder + fused beam search.
 
-    With a mesh, queries shard over the ``data`` axis (params and index
-    replicated): XLA partitions the whole scan along the batch dim, so a
-    multi-chip slice serves one large batch -- the TPU-native replacement
-    for the reference's ``synced_gpus`` data parallelism
-    (``beam_search.py:221-229``).
+    With a mesh, queries shard over the ``data`` axis: XLA partitions the
+    whole scan along the batch dim, so a multi-chip slice serves one large
+    batch -- the TPU-native replacement for the reference's ``synced_gpus``
+    data parallelism (``beam_search.py:221-229``).  When the mesh has a
+    ``model`` axis of size > 1, params take the Megatron tensor-parallel
+    layout (``parallel/mesh.py::param_pspecs``) and GSPMD propagates the
+    head/FFN sharding through every decode step -- serving and training
+    share one param layout, so no resharding between them.
     """
 
     bart = model_api.module_for(model_cfg)
@@ -62,9 +65,18 @@ def _jitted_search(model_cfg: BartConfig, dcfg: DecodeConfig, mesh=None):
 
     data = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
+    params_sh = None
+    if "model" in mesh.axis_names and mesh.shape["model"] > 1:
+        from seal_tpu.parallel.mesh import param_pspecs
+
+        params_sh = jax.tree_util.tree_map(
+            lambda s: NamedSharding(mesh, s),
+            param_pspecs(model_cfg),
+            is_leaf=lambda x: isinstance(x, P),
+        )
     return jax.jit(
         run,
-        in_shardings=(None, None, data, data, repl),
+        in_shardings=(params_sh, None, data, data, repl),
         out_shardings=None,
     )
 
@@ -93,27 +105,38 @@ def extract_hypotheses(
     if dcfg.forced_bos_token_id is not None:
         prefix = prefix + [dcfg.forced_bos_token_id]
 
-    results: List[List[Tuple[float, List[int]]]] = []
-    for b in range(B):
-        prefixes = [list(prefix) for _ in range(K)]
-        hyps: List[Tuple[float, List[int]]] = []
-        for s in range(S):
+    # Selected-beam token paths rebuilt forward in bulk: paths[s] is
+    # [B, K, s] = the tokens of beam k after s steps.  One vectorized
+    # gather+append per step replaces the per-(batch, beam) Python list
+    # copies (O(S*B*2K) at beam 32 x batch 64 otherwise).
+    paths = [np.zeros((B, K, 0), dtype=c_tok.dtype)]
+    for s in range(S):
+        parent_paths = np.take_along_axis(paths[s], s_par[s][:, :, None], axis=1)
+        paths.append(
+            np.concatenate([parent_paths, s_tok[s][:, :, None]], axis=2)
+        )
+
+    results: List[List[Tuple[float, List[int]]]] = [[] for _ in range(B)]
+    for s in range(S):
+        step_fin = c_fin[s]
+        if not step_fin.any():
+            continue
+        base = np.take_along_axis(paths[s], c_par[s][:, :, None], axis=1)
+        seqs = np.concatenate([base, c_tok[s][:, :, None]], axis=2).tolist()
+        scores = c_sco[s].tolist()
+        finite = step_fin.tolist()
+        for b in range(B):
+            row_seq, row_sco, row_fin = seqs[b], scores[b], finite[b]
+            hyps = results[b]
             for j in range(twoK):
-                if not c_fin[s, b, j]:
-                    continue
-                hyps.append(
-                    (
-                        float(c_sco[s, b, j]),
-                        prefixes[int(c_par[s, b, j])] + [int(c_tok[s, b, j])],
-                    )
-                )
-            prefixes = [
-                prefixes[int(s_par[s, b, k])] + [int(s_tok[s, b, k])] for k in range(K)
-            ]
-        for k in range(K):  # finalize: add the K final beams
-            if f_ok[b, k] and np.isfinite(f_sco[b, k]) and f_sco[b, k] > -1e30:
-                hyps.append((float(f_sco[b, k]), [int(t) for t in f_tok[b, k]]))
-        results.append(hyps)
+                if row_fin[j]:
+                    hyps.append((row_sco[j], prefix + row_seq[j]))
+    # finalize: add the K final beams
+    final_ok = f_ok & np.isfinite(f_sco) & (f_sco > -1e30)
+    f_sco_l = f_sco.tolist()
+    f_tok_l = f_tok.tolist()
+    for b, k in zip(*np.nonzero(final_ok)):
+        results[b].append((f_sco_l[b][k], list(f_tok_l[b][k])))
     return results
 
 

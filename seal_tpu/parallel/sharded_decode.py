@@ -119,6 +119,12 @@ class ShardedIndexOps:
         local_over = ((hi - lo) > w).astype(jnp.int32)
         return lax.psum(local_over, self.axis) == 0
 
+    def interval_covered(self, lo, hi, rows_done):
+        """True where ``rows_done`` rows per shard enumerate every shard's
+        local interval (then the union's distinct set has been seen)."""
+        local_over = ((hi - lo) > rows_done).astype(jnp.int32)
+        return lax.psum(local_over, self.axis) == 0
+
     def bucket_counts(self, lo, hi):
         return lax.psum(fm_ops.bucket_counts(self.dev, lo, hi), self.axis)
 

@@ -17,6 +17,7 @@ read-only NumPy).
 from __future__ import annotations
 
 import logging
+import time
 from itertools import islice
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -46,6 +47,15 @@ def _retrieve_from_keys_mp_aux(args):
     idx, keys = args
     # forked workers must not touch the JAX runtime: host-only index queries
     return _MP_REGISTRY[idx].retrieve_from_keys(keys, use_device=False)
+
+
+def _detokenize_mp_aux(args):
+    idx, title_tokens, body_tokens = args
+    tok = _MP_REGISTRY[idx].tokenizer
+    title = (
+        tok.decode(title_tokens, skip_special_tokens=True) if title_tokens else ""
+    )
+    return title, tok.decode(body_tokens, skip_special_tokens=True)
 
 
 class SEALSearcher:
@@ -149,6 +159,9 @@ class SEALSearcher:
         )
         self.num_docs = fm_index.n_docs
         self.docids = fm_index.labels
+        from seal_tpu.utils.profiling import ServingMetrics
+
+        self.metrics = ServingMetrics()
         self.set_params(kwargs)
 
         backbone = self.backbone
@@ -704,6 +717,28 @@ class SEALSearcher:
         finally:
             _MP_REGISTRY.pop(idx, None)
 
+    def _mp_detokenize(self, docs):
+        """Process-parallel detokenization (reference ``retrieval.py:693-712``,
+        the jobs>2 path).  Token splitting stays on the parent (cheap, needs
+        the index); only BPE decoding fans out to forked workers."""
+        import multiprocessing
+
+        idx = id(self)
+        _MP_REGISTRY[idx] = self
+        splits = [d.split_tokens(d.raw_tokens()) for d in docs]
+        ctx = multiprocessing.get_context("fork")
+        try:
+            with ctx.Pool(min(self.jobs, len(docs))) as pool:
+                texts = pool.map(
+                    _detokenize_mp_aux,
+                    [(idx, t, b) for t, b in splits],
+                    chunksize=max(1, len(docs) // (4 * self.jobs)),
+                )
+        finally:
+            _MP_REGISTRY.pop(idx, None)
+        for d, (title, body) in zip(docs, texts):
+            d._title, d._body = title, body
+
     # ----------------------------------------------------------------- search
 
     def search(self, query: str, k: int = 10) -> List[SEALDocument]:
@@ -715,7 +750,9 @@ class SEALSearcher:
         if detokenize is None:
             detokenize = self.detokenize
         queries = list(queries)
-        timer = PhaseTimer(enabled=self.progress)
+        batch_t0 = time.time()
+        timer = PhaseTimer(enabled=True)
+        timer_log = self.progress
         with timer.phase("generate+aggregate"):
             keys_it = (
                 self._pipelined_keys(queries) if self.pipeline
@@ -759,10 +796,21 @@ class SEALSearcher:
             retrieved.append(docs)
         if detokenize:
             with timer.phase("detokenize"):
-                for docs in retrieved:
-                    for d in docs:
+                flat = [d for docs in retrieved for d in docs]
+                if self.jobs > 2 and len(flat) > 1:
+                    self._mp_detokenize(flat)
+                else:
+                    for d in flat:
                         d.text()
-        timer.log_summary()
+        if timer_log:
+            timer.log_summary()
+        self.metrics.observe_batch(
+            n_queries=len(queries),
+            n_keys=sum(len(kk) for kk in keysets),
+            n_docs=sum(len(docs) for docs in retrieved),
+            elapsed_s=time.time() - batch_t0,
+            timer=timer,
+        )
         return retrieved
 
     def doc(self, docid) -> Optional[SEALDocument]:

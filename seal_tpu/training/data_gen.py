@@ -16,12 +16,12 @@ stopwords -> an embedded list; ftfy -> whitespace/BULLET/SECTION cleanup.
 from __future__ import annotations
 
 import json
-import math
 import random
 import re
-from collections import defaultdict
 from difflib import SequenceMatcher
 from typing import Dict, Iterable, Iterator, Optional, Tuple
+
+import numpy as np
 
 # English stopwords (standard list; NLTK is unavailable offline)
 STOPWORDS = set(
@@ -65,6 +65,35 @@ def span_iterator(tokens, ngrams: int = 3, banned=STOPWORDS):
             yield (i, i + ngrams)
 
 
+def _start_weights(
+    query_tokens_lower: list, passage_tokens_lower: list
+) -> Tuple[list, "np.ndarray"]:
+    """Fuzzy-overlap weight for every candidate span start.
+
+    Computes the same quantity the reference accumulates (sum over query
+    3-grams of quantized SequenceMatcher ratios against the passage 3-gram at
+    each non-stopword start, ``make_supervised_dpr_dataset.py:87-96``) but
+    start-major: the passage gram is seq2, whose matcher-side index is built
+    once per start and reused across every query gram, instead of rebuilt for
+    each (query-gram, start) pair.
+    """
+    q_grams = [
+        " ".join(query_tokens_lower[i : i + 3])
+        for i in range(len(query_tokens_lower))
+    ]
+    starts = [i for i, _ in span_iterator(passage_tokens_lower, 3)]
+    weights = np.zeros(len(starts))
+    matcher = SequenceMatcher(None)
+    for row, start in enumerate(starts):
+        matcher.set_seq2(" ".join(passage_tokens_lower[start : start + 3]))
+        acc = 0.0
+        for qg in q_grams:
+            matcher.set_seq1(qg)
+            acc += int(round(matcher.ratio() * 100)) / 100.0
+        weights[row] = acc
+    return starts, weights
+
+
 def extract_spans(
     text: str,
     source: str,
@@ -77,34 +106,32 @@ def extract_spans(
     """Sample target spans from a passage, weighted by fuzzy-match overlap of
     query 3-grams against passage 3-gram starts (``:79-118``)."""
     rng = rng or random
-    source = source.split("||", 1)[0]
-    query_tokens_lower = [t.lower() for t in source.split()]
+    query_tokens_lower = [
+        t.lower() for t in source.split("||", 1)[0].split()
+    ]
     passage_tokens = text.split()
-    passage_tokens_lower = [t.lower() for t in passage_tokens]
+    starts, raw = _start_weights(
+        query_tokens_lower, [t.lower() for t in passage_tokens]
+    )
 
-    matches: Dict[int, float] = defaultdict(float)
-    for i1 in range(len(query_tokens_lower)):
-        str_1 = " ".join(query_tokens_lower[i1 : i1 + 3])
-        for (i2, j2) in span_iterator(passage_tokens_lower, 3):
-            str_2 = " ".join(passage_tokens_lower[i2:j2])
-            matches[i2] += fuzz_ratio(str_1, str_2) / 100.0
-
-    if not matches:
+    if not starts or not query_tokens_lower:
         indices = [0]
     else:
-        indices, weights = zip(*sorted(matches.items(), key=lambda x: -x[1]))
-        weights = list(weights)
-        if sum(weights) == 0.0:
-            indices, weights = [0], [1.0]
+        # descending weight; stable sort keeps position order among ties,
+        # matching the reference's insertion-ordered dict sort
+        order = np.argsort(-raw, kind="stable")
+        ranked = [starts[k] for k in order]
+        if raw.sum() == 0.0:
+            ranked, probs = [0], np.ones(1)
         else:
-            weights = [math.exp(float(w) / temperature) for w in weights]
-            z = sum(weights)
-            weights = [w / z for w in weights]
-        indices = rng.choices(indices, weights=weights, k=n_samples)
+            logits = raw[order] / temperature
+            probs = np.exp(logits - logits.max())
+        indices = rng.choices(ranked, weights=(probs / probs.sum()).tolist(),
+                              k=n_samples)
 
-    for i in indices:
-        size = rng.randint(min_length, max_length)
-        yield " ".join(passage_tokens[i : i + size])
+    for start in indices:
+        n_tokens = rng.randint(min_length, max_length)
+        yield " ".join(passage_tokens[start : start + n_tokens])
 
 
 def _silver_suffix(mark_silver: bool, score: float, min_score_gold: float) -> str:

@@ -1,0 +1,56 @@
+"""Multi-host serving utilities on the single-process degenerate case
+(the code path is identical; only process_count differs)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from seal_tpu.decoding.generate import fm_index_generate, pad_batch
+from seal_tpu.index import FMIndex
+from seal_tpu.index.device_index import DeviceFMIndex
+from seal_tpu.models import bart
+from seal_tpu.models.config import bart_tiny
+from seal_tpu.parallel import multihost
+
+
+def test_init_distributed_noop_without_coordinator(monkeypatch):
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert multihost.init_distributed() is False
+
+
+def test_process_slice_partitions_everything():
+    # single process: the slice is the whole list
+    start, end = multihost.process_slice(17)
+    assert (start, end) == (0, 17)
+
+
+def test_global_mesh_rejects_cross_host_model_axis():
+    n_local = jax.local_device_count()
+    with pytest.raises(AssertionError):
+        multihost.global_mesh(n_model=n_local + 1)
+
+
+def test_host_batch_to_global_roundtrip_and_decode():
+    rng = np.random.default_rng(3)
+    docs = [rng.integers(4, 60, size=rng.integers(5, 20)).tolist() + [2] for _ in range(20)]
+    host = FMIndex()
+    host.initialize(docs)
+    cfg = bart_tiny(vocab_size=60)
+    dev = DeviceFMIndex.from_host(host, vocab=60)
+    params = bart.init_params(jax.random.PRNGKey(1), cfg)
+    queries = [[0] + rng.integers(4, 60, size=5).tolist() + [2] for _ in range(8)]
+    ids, mask = pad_batch(queries, cfg.pad_token_id)
+
+    mesh = multihost.global_mesh(n_model=1)
+    gids, gmask = multihost.host_batch_to_global(mesh, ids, mask)
+    np.testing.assert_array_equal(np.asarray(gids), ids)
+
+    kw = dict(num_beams=3, max_length=5, min_length=0, forced_bos_token_id=None,
+              exact_mask=True)
+    local = fm_index_generate(cfg, params, dev, ids, mask, **kw)
+    dist = fm_index_generate(cfg, params, dev, gids, gmask, mesh=mesh, **kw)
+    for a, b in zip(local, dist):
+        assert {(round(s, 3), tuple(t)) for s, t in a} == {
+            (round(s, 3), tuple(t)) for s, t in b
+        }

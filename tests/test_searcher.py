@@ -93,11 +93,17 @@ def test_search_other_topic(searcher):
 
 
 def test_batch_search_multiple_queries(searcher):
+    searcher.metrics.reset()
     res = searcher.batch_search(
         ["fresh water river ocean", "chess board game"], k=2
     )
     assert res[0][0].docid == "d3"
     assert res[1][0].docid == "d4"
+    snap = searcher.metrics.snapshot()
+    assert snap["queries"] == 2 and snap["batches"] == 1
+    assert snap["docs_returned"] == sum(len(d) for d in res)
+    assert snap["keys_generated"] > 0 and snap["queries_per_s"] > 0
+    assert any(k.startswith("phase_") for k in snap)
 
 
 def test_include_keys(searcher):

@@ -49,6 +49,8 @@ def test_jobs_mp_matches_serial(searcher):
     for a, b in zip(serial, parallel):
         for da, db in zip(a, b):
             assert da.score == pytest.approx(db.score)
+            # jobs>2 detokenizes in a fork pool -- text must match serial
+            assert da.text() == db.text()
 
 
 def test_pipeline_matches_non_pipeline(searcher):

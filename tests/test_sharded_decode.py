@@ -85,6 +85,33 @@ def test_eight_shards_grounded_union(world):
     assert checked > 15
 
 
+def test_config5_scale_beam32(world):
+    """BASELINE config-5 shape (beam 32) over 8 shards: decode completes,
+    every extracted hypothesis is grounded in the union corpus, and the
+    vectorized history backtrack returns the expected volume of candidates."""
+    cfg, params, docs, ids, mask = world
+    mesh = mesh_lib.make_mesh(n_data=8, n_model=1)
+    si, hosts, _ = ShardedFMIndex.build(docs, n_shards=8, vocab=VOCAB)
+    si = si.place(mesh)
+    beam, steps = 32, 5
+    out = sharded_fm_index_generate(
+        cfg, params, si, mesh, ids, mask,
+        num_beams=beam, max_length=steps, min_length=0,
+        forced_bos_token_id=None, exact_mask=True,
+    )
+    assert len(out) == ids.shape[0]
+    for hyps in out:
+        assert hyps
+        # candidate history records up to 2*beam candidates per step
+        assert len(hyps) <= (steps + 1) * 2 * beam + beam
+        for _, toks in hyps:
+            seq = toks[1:]
+            cut = next((i for i, t in enumerate(seq) if t in (1, 2)), len(seq))
+            seq = seq[:cut]
+            if seq:
+                assert sum(h.get_count(seq) for h in hosts) > 0, toks
+
+
 def test_eight_shards_match_union_counts(world):
     """Exact mode on the sharded index == exact mode on a union index built
     with the same shard layout (doc boundaries align by construction when
