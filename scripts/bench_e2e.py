@@ -46,7 +46,8 @@ def main():
 
     searcher = SEALSearcher(
         index, tok, cfg, params,
-        backbone="word-vocab-large", beam=15, length=10, batch_size=16,
+        backbone="word-vocab-large", beam=15, length=10,
+        batch_size=int(os.environ.get("BENCH_E2E_BATCH", "32")),
         progress=True,
     )
     # queries: spans lifted from random docs (so decomposition keys hit)

@@ -160,6 +160,7 @@ def fm_index_generate(
     top_m: int = 256,
     window: int = 128,
     exact_chunk: int = 64,
+    dense_chunk: int = 2048,
     speculative: bool = False,
     exact_mask: bool = False,
     sample: bool = False,
@@ -197,6 +198,7 @@ def fm_index_generate(
         top_m=min(top_m, model_cfg.vocab_size),
         window=window,
         exact_chunk=exact_chunk,
+        dense_chunk=dense_chunk,
         speculative=speculative,
         exact_mask=exact_mask,
         sample=sample,

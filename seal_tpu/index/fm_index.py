@@ -62,6 +62,8 @@ class FMIndex:
         self.psi: Optional[np.ndarray] = None  # int32/int64 [N]
         self.C: Optional[np.ndarray] = None  # int64 [sigma+1]
         self._bwt: Optional[np.ndarray] = None  # lazy
+        self._beg_arr: Optional[np.ndarray] = None  # cached beginnings array
+        self._beg_key = None
 
     # ------------------------------------------------------------------ build
 
@@ -202,9 +204,7 @@ class FMIndex:
         lo, hi = rng if rng is not None else self.get_range(list(ngram))
         n = min(hi - lo, cap)
         tok_ends = np.asarray(self.sa[lo : lo + n], dtype=np.int64)
-        doc_ids = (
-            np.searchsorted(np.asarray(self.beginnings, np.int64), tok_ends, side="right") - 1
-        )
+        doc_ids = np.searchsorted(self.doc_boundaries(), tok_ends, side="right") - 1
         return tok_ends, doc_ids
 
     def token_count(self, token: int) -> int:
@@ -214,6 +214,13 @@ class FMIndex:
         if c < 1 or c + 1 >= self.C.size:
             return 0
         return int(self.C[c + 1] - self.C[c])
+
+    def token_counts(self, tokens) -> np.ndarray:
+        """Vectorized ``token_count`` over an array of token ids."""
+        c = np.asarray(tokens, np.int64) + SHIFT
+        valid = (c >= 1) & (c + 1 < self.C.size)
+        cc = np.clip(c, 0, self.C.size - 2)
+        return np.where(valid, self.C[cc + 1] - self.C[cc], 0).astype(np.int64)
 
     def _derive(self) -> None:
         """Compute psi, C and the step-1 token statistics from text+sa."""
@@ -357,7 +364,7 @@ class FMIndex:
         consumes (it fetches ``n_docs_complete_score`` docs per query).
         """
         ids = np.asarray(doc_indices, np.int64)
-        beg = np.asarray(self.beginnings, np.int64)
+        beg = self.doc_boundaries()
         starts = beg[ids]
         lens = beg[ids + 1] - starts
         off = np.zeros(ids.size + 1, np.int64)
@@ -460,4 +467,20 @@ class FMIndex:
     # ------------------------------------------------------------- utilities
 
     def doc_boundaries(self) -> np.ndarray:
-        return np.asarray(self.beginnings, dtype=np.int64)
+        """int64 array view of ``beginnings``, cached.
+
+        ``occurrences`` runs once per rare ngram; rebuilding an n_docs-sized
+        array from the Python list each call dominated the stage-1 host cost
+        (~30% of a profiled end-to-end batch).  The cache invalidates on
+        list identity/length/endpoint change, so build-time appends and
+        wholesale reassignment both refresh it.
+        """
+        key = (
+            id(self.beginnings),
+            len(self.beginnings),
+            self.beginnings[-1] if self.beginnings else None,
+        )
+        if self._beg_arr is None or self._beg_key != key:
+            self._beg_arr = np.asarray(self.beginnings, dtype=np.int64)
+            self._beg_key = key
+        return self._beg_arr

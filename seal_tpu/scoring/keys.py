@@ -346,25 +346,27 @@ def aggregate_evidence(
         # reference walks the index for every vocab entry, keys.py:252)
         count1 = getattr(index, "token_count", lambda i: index.get_count([i]))
         out = np.zeros(V_u, np.float64)
-        for i in top.tolist():
-            if i in unigrams:
-                continue
-            sr = float(u[i])
-            count = count1(i)
-            if count == 0:
-                continue
-            if use_fm_index_frequency:
-                # note: the reference applies no alpha exponent here
-                # (keys.py:255-261)
-                snr = math.log((count + smoothing) / (ntokens + smoothing))
-                try:
-                    sco = (sr + math.log1p(-math.exp(snr))) - (snr + math.log1p(-math.exp(sr)))
-                except ValueError:  # sr == 0.0 -> log(0)
-                    sco = 0.0
-                sco = max(sco, 0.0)
-            else:
-                sco = max(sr - cutoff, 0.0) ** alpha
-            out[i] = sco
+        sel = top[~np.isin(top, np.fromiter(unigrams, np.int64, len(unigrams)))]
+        if hasattr(index, "token_counts"):
+            cnt = index.token_counts(sel)
+        else:
+            cnt = np.fromiter((count1(int(i)) for i in sel), np.int64, sel.size)
+        nz = cnt > 0
+        sel, cnt = sel[nz], cnt[nz]
+        sr_v = u[sel]
+        if use_fm_index_frequency:
+            # note: the reference applies no alpha exponent here
+            # (keys.py:255-261); sr >= 0 falls into the reference's
+            # ValueError branch (log of a non-positive) -> score 0
+            snr_v = np.log((cnt + smoothing) / (ntokens + smoothing))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sco_v = (sr_v + np.log1p(-np.exp(snr_v))) - (
+                    snr_v + np.log1p(-np.exp(sr_v))
+                )
+            sco_v = np.where(sr_v < 0.0, np.maximum(sco_v, 0.0), 0.0)
+        else:
+            sco_v = np.maximum(sr_v - cutoff, 0.0) ** alpha
+        out[sel] = sco_v
         unigram_scores = out
 
         if add_best_unigrams_to_ngrams:
@@ -555,23 +557,30 @@ def aggregate_evidence(
             unigrams_ignore_free_places,
             max_token,
         )
+        # bulk host conversion once; per-entry int()/float() over
+        # found-lists dominated this frame on a 1-core host
+        f_off_l = np.asarray(f_off).tolist()
+        f_id_l = np.asarray(f_id).tolist()
+        f_sco_l = np.asarray(f_sco).tolist()
+        multi_l = np.asarray(multi).tolist()
+        single_l = np.asarray(single).tolist()
+        best_l = np.asarray(best_pat).tolist()
+        uni_l = np.asarray(uni).tolist()
         for di, doc in enumerate(doc_list):
-            results[doc][3] = doc_tokens_of(di)
-            found = []
-            for k in range(int(f_off[di]), int(f_off[di + 1])):
-                pid = int(f_id[k])
-                if pid >= 0:
-                    found.append((patterns[pid], float(f_sco[k])))
-                else:
-                    found.append(((-pid - 1,), float(f_sco[k])))
-            results[doc][1] = found
-            bp = int(best_pat[di])
-            results[doc][4] = [patterns[bp] if bp >= 0 else [], float(single[di])]
-            single_sco = float(single[di])
+            entry = results[doc]
+            entry[3] = doc_tokens_of(di)
+            a, b = f_off_l[di], f_off_l[di + 1]
+            entry[1] = [
+                (patterns[pid], s) if pid >= 0 else ((-pid - 1,), s)
+                for pid, s in zip(f_id_l[a:b], f_sco_l[a:b])
+            ]
+            bp = best_l[di]
+            entry[4] = [patterns[bp] if bp >= 0 else [], single_l[di]]
+            single_sco = single_l[di]
             if single_key_add_unigrams:
-                single_sco += float(uni[di])
-            multi_sco = float(multi[di]) + float(uni[di])
-            results[doc][0] = (1.0 - single_key) * multi_sco + single_key * single_sco
+                single_sco += uni_l[di]
+            multi_sco = multi_l[di] + uni_l[di]
+            entry[0] = (1.0 - single_key) * multi_sco + single_key * single_sco
     else:  # pragma: no cover - python mirror of ac_match + stage2_score
         for di, doc in enumerate(doc_list):
             doc_tokens = doc_tokens_of(di)
