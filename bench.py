@@ -216,6 +216,40 @@ def main():
         print("# config5 measurement failed; primary metric unaffected", file=sys.stderr)
         traceback.print_exc(limit=3, file=sys.stderr)
 
+    # ---- max-throughput shape: beam 15, batch 128 -------------------------
+    # (per-step overheads amortize with batch; the reference cannot scale
+    # this way -- its per-beam host round-trip grows linearly)
+    try:
+        batch_mx = 128
+        queries_mx = [
+            [0] + rng.integers(4, vocab, size=12).tolist() + [2]
+            for _ in range(batch_mx)
+        ]
+        ids_mx, mask_mx = pad_batch(queries_mx, cfg.pad_token_id)
+
+        def run_mx():
+            return fm_index_generate(
+                cfg, params, index, ids_mx, mask_mx,
+                num_beams=beam, max_length=length, min_length=length - 1,
+                forced_bos_token_id=None,
+            )
+
+        _retry(run_mx, attempts=3, label="max-batch compile+first")
+        t_mx = []
+        for i in range(2):
+            t0 = time.time()
+            _retry(run_mx, attempts=2, label=f"max-batch iter {i}")
+            t_mx.append(time.time() - t0)
+        per_mx = float(np.median(t_mx))
+        c5["max_batch_qps"] = round(batch_mx / per_mx, 3)
+        flops_mx = decode_flops(cfg, batch_mx, beam, ids_mx.shape[1], length)
+        c5["max_batch_mfu"] = round(flops_mx / per_mx / peak, 4) if peak else None
+        print(f"# max-batch: beam {beam} batch {batch_mx} steady={per_mx:.2f}s/batch",
+              file=sys.stderr)
+    except Exception:
+        print("# max-batch measurement failed; primary metric unaffected", file=sys.stderr)
+        traceback.print_exc(limit=3, file=sys.stderr)
+
     result = {
         "metric": f"constrained key-generation queries/sec/chip (beam {beam}, len {length}, bart-large, {platform})",
         "value": round(qps, 3),

@@ -147,7 +147,13 @@ class DeviceFMIndex:
             sigma=sigma,
             vocab=int(vocab),
             n_docs=index.n_docs,
-            search_iters=max(1, math.ceil(math.log2(n_rows + 1))),
+            # every rank query searches within ONE symbol's psi block
+            # ([C[c], C[c+1]]), so the largest block -- not the corpus --
+            # bounds the binary-search depth (each iteration is a serialized
+            # HBM gather; Zipf corpora save ~3-4 of ~21 rounds)
+            search_iters=max(
+                1, math.ceil(math.log2(int(np.max(np.diff(index.C))) + 1))
+            ),
             bucket_size=bucket_size,
         )
 

@@ -142,7 +142,14 @@ class ShardedFMIndex:
             bucket_occ=jnp.asarray(bucket_occ),
             n_shards=n_shards,
             vocab=vocab,
-            search_iters=max(1, math.ceil(math.log2(n_max + 1))),
+            # rank queries search one symbol block; depth = the largest
+            # block across shards (see DeviceFMIndex.from_host)
+            search_iters=max(
+                1,
+                math.ceil(
+                    math.log2(max(int(np.max(np.diff(h.C))) for h in hosts) + 1)
+                ),
+            ),
             n_docs=len(docs),
             bucket_size=bucket_size,
         )

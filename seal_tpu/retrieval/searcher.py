@@ -112,6 +112,7 @@ class SEALSearcher:
         "exact_mask": False,  # dense O(vocab) constraint mask (parity mode)
         "compact_index": False,  # wavelet-tree device index (~2.6 B/token)
         "pipeline": True,  # overlap device generation with host aggregation
+        "index_shards": 0,  # >1: partition the index over the device mesh
     }
 
     def __init__(
@@ -314,16 +315,25 @@ class SEALSearcher:
             return convert.apply_seal_logits_bias(p, model_cfg)
 
         main = load_params(checkpoint)
-        return cls(
-            fm_index,
-            tokenizer,
-            model_cfg,
-            main,
+        extra = dict(
             scorer_params=load_params(scorer_checkpoint) if scorer_checkpoint else None,
             title_params=load_params(title_checkpoint) if title_checkpoint else None,
             code_params=load_params(code_checkpoint) if code_checkpoint else None,
-            **params,
         )
+        n_shards = int(params.pop("index_shards", 0) or 0)
+        if n_shards > 1:
+            # re-split the loaded corpus into per-device shards (config 5):
+            # one-time cost at load, bit-identical decode vs monolithic
+            flat, off = fm_index.get_docs_flat(list(range(fm_index.n_docs)))
+            docs = [
+                flat[off[i] : off[i + 1]].tolist() for i in range(fm_index.n_docs)
+            ]
+            labels = fm_index.labels or [str(i) for i in range(fm_index.n_docs)]
+            return cls.build_sharded(
+                docs, labels, tokenizer, model_cfg, main,
+                n_shards=n_shards, **extra, **params,
+            )
+        return cls(fm_index, tokenizer, model_cfg, main, **extra, **params)
 
     # ---------------------------------------------------------- key generation
 
@@ -346,7 +356,11 @@ class SEALSearcher:
         from seal_tpu.parallel.sharded_index import ShardedFMIndex, UnionHostIndex
 
         if mesh is None:
-            mesh = mesh_lib.make_mesh(n_data=n_shards, n_model=1)
+            import jax
+
+            mesh = mesh_lib.make_mesh(
+                n_data=n_shards, n_model=1, devices=jax.devices()[:n_shards]
+            )
         si, hosts, assignments = ShardedFMIndex.build(
             docs, n_shards=n_shards, vocab=model_cfg.vocab_size, labels=labels
         )

@@ -86,6 +86,28 @@ def test_search_cli_dpr_topics_dpr_output(corpus_dir):
     assert data[1]["ctxs"][0]["passage_id"] == "13-2"
 
 
+def test_search_cli_sharded_index(corpus_dir):
+    """--index_shards N re-partitions a loaded monolithic index over the
+    device mesh (BASELINE config 5 from the CLI)."""
+    d, rows = corpus_dir
+    out = d / "out_sharded.json"
+    rc = search_cli.main(
+        [
+            "--topics", str(d / "topics.json"), "--topics_format", "dpr",
+            "--output", str(out), "--output_format", "dpr", "--hits", "3",
+            "--fm_index", str(d / "idx_kilt"),
+            "--tokenizer", str(d / "idx_kilt.word_vocab.json"),
+            "--backbone", "tiny-word", "--beam", "3", "--length", "3",
+            "--exact_mask", "--dont_decode_titles", "--dont_unigram_scores",
+            "--index_shards", "4",
+        ]
+    )
+    assert rc == 0
+    data = json.loads(out.read_text())
+    assert data[0]["ctxs"] and data[0]["ctxs"][0]["passage_id"] == "11-1"
+    assert data[1]["ctxs"][0]["passage_id"] == "13-2"
+
+
 def test_search_cli_kilt_output(corpus_dir):
     d, rows = corpus_dir
     topics = d / "topics.tsv"
