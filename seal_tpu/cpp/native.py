@@ -101,17 +101,18 @@ class Native:
         """Half-open ranges of many shifted-symbol sequences (host psi)."""
         i64p = ctypes.POINTER(ctypes.c_int64)
         data, off = self._flatten(seqs)
+        n_seqs = int(off.size - 1)  # correct for pre-flattened (data, off) input
         psi = np.ascontiguousarray(psi, np.int32)
         C = np.ascontiguousarray(C, np.int64)
-        lo = np.empty(len(seqs), np.int64)
-        hi = np.empty(len(seqs), np.int64)
+        lo = np.empty(n_seqs, np.int64)
+        hi = np.empty(n_seqs, np.int64)
         self._lib.ranges_multi(
             psi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             C.ctypes.data_as(i64p),
             ctypes.c_int64(C.size - 1),
             data.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             off.ctypes.data_as(i64p),
-            ctypes.c_int64(len(seqs)),
+            ctypes.c_int64(n_seqs),
             ctypes.c_int64(n_rows),
             lo.ctypes.data_as(i64p),
             hi.ctypes.data_as(i64p),

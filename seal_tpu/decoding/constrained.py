@@ -116,6 +116,9 @@ class SingleIndexOps:
             return bucket_size_of(self.index)
         return self.index.bucket_size
 
+    def n_buckets(self):
+        return self._ops.bucket_counts_width(self.index)
+
     def dense_counts(self, lo, hi, chunk):
         return self._ops.dense_counts(self.index, lo, hi, chunk=chunk)
 
@@ -142,6 +145,11 @@ class DecodeConfig:
     #   is the exact proposal loop, which matches dense semantics bit-for-bit
     exact_mask: bool = False  # dense O(vocab) mask (parity mode)
     dense_chunk: int = 2048
+    exact_ties: bool = False  # resolve equal-score ties (beam, token)-asc
+    #   like the token-indexed dense candidate axis; costs a two-key sort
+    #   per selection (~15% at the bench config).  Ties are measure-zero
+    #   for real models -- the torch reference's own tie order is whatever
+    #   its unstable topk returns -- so the fast path is the default.
     sample: bool = False  # num_beams independent constrained samplers
     topk: int = 0  # TopKLogitsWarper on the raw logits (0 = off)
     num_groups: int = 1  # diverse beam groups
@@ -266,6 +274,9 @@ def _candidates_general(
         [top_valid, win_valid, eos_cnt > 0, jnp.zeros((B, K, 1), bool)], -1
     )
     cand_lp = jnp.concatenate([top_lp, win_lp, eos_lp, pad_lp], -1)
+    # candidate ORDER is free here: selection tie-breaks on (score, token)
+    # via the packed sort key (_pack_desc), matching dense mode's
+    # token-indexed candidate axis whichever slot discovered a token
     return _apply_branches(cfg, tokens, fm_valid, cand_lp, prev_count, finished)
 
 
@@ -307,7 +318,9 @@ def _exact_proposals(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, p
 
     v_idx = jnp.arange(V, dtype=jnp.int32)
 
-    def proposal_lp(it):
+    v_bucket = (v_idx + SHIFT) // ops.bucket_size()
+
+    def proposal_lp(it, bcounts):
         # Bucket-level support pruning, deferred to the moment a second
         # proposal round is actually needed: a token whose symbol bucket has
         # zero occurrences in [lo, hi) cannot continue the range, so masking
@@ -316,13 +329,12 @@ def _exact_proposals(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, p
         # few distinct continuations, all unlikely under the LM).  The first
         # round runs on the raw distribution (its exact top-chunk is a
         # superset of the pruned one), so satisfied steps never pay for it.
-        def pruned(_):
-            bcounts = ops.bucket_counts(lo, hi)  # [B, K, n_buckets]
-            v_bucket = (v_idx + SHIFT) // ops.bucket_size()
-            support = jnp.take(bcounts, v_bucket, axis=-1) > 0  # [B, K, V]
+        # ``bcounts`` is computed once (round 1) and loop-carried.
+        def pruned(bc):
+            support = jnp.take(bc, v_bucket, axis=-1) > 0  # [B, K, V]
             return jnp.where(support, lp, NEG_INF)
 
-        return lax.cond(it >= 1, pruned, lambda _: lp, None)
+        return lax.cond(it >= 1, pruned, lambda _: lp, bcounts)
 
     buf_tok = jnp.full((B, K, n_buf), 0, jnp.int32)
     buf_lp = jnp.full((B, K, n_buf), NEG_INF, jnp.float32)
@@ -337,16 +349,20 @@ def _exact_proposals(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, p
     th_lp0 = jnp.full((B, K), jnp.inf, jnp.float32)
     th_ix0 = jnp.full((B, K), -1, jnp.int32)
     covered0 = ops.interval_covered(lo, hi, 0)
+    bc0 = jnp.zeros((B, K, ops.n_buckets()), jnp.int32)
 
     def cond(state):
-        th_lp, th_ix, buf_tok, buf_lp, buf_valid, dead, covered, it = state
+        th_lp, th_ix, buf_tok, buf_lp, buf_valid, dead, covered, bcounts, it = state
         n_valid = buf_valid.sum(-1)
         need = ~exempt & ~dead & ~covered & (n_valid < n_buf)
         return jnp.any(need) & (it * chunk < V)
 
     def body(state):
-        th_lp, th_ix, buf_tok, buf_lp, buf_valid, dead, covered, it = state
-        base = proposal_lp(it)
+        th_lp, th_ix, buf_tok, buf_lp, buf_valid, dead, covered, bcounts, it = state
+        bcounts = lax.cond(
+            it == 1, lambda _: ops.bucket_counts(lo, hi), lambda _: bcounts, None
+        )
+        base = proposal_lp(it, bcounts)
         consumed = (base > th_lp[..., None]) | (
             (base == th_lp[..., None]) & (v_idx <= th_ix[..., None])
         )
@@ -392,7 +408,9 @@ def _exact_proposals(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, p
         )
         fresh = _dedup_mask(uniq)
         rank_score = jnp.where(all_valid & fresh, all_lp, NEG_INF)
-        _, keep = lax.top_k(rank_score, n_buf)
+        # retention by (lp desc[, token asc under exact_ties]) -- invalid
+        # slots carry unique ids >= V and NEG_INF scores: they sort last
+        keep = _top_idx(cfg, rank_score, uniq, n_buf)
         buf_tok = jnp.take_along_axis(all_tok, keep, -1)
         buf_lp = jnp.take_along_axis(all_lp, keep, -1)
         buf_valid = jnp.take_along_axis(all_valid & fresh, keep, -1)
@@ -401,10 +419,13 @@ def _exact_proposals(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, p
         # nothing proposable remains once the chunk's best slot is exhausted
         dead = top_lp[..., 0] <= NEG_INF / 2
         covered = ops.interval_covered(lo, hi, (it + 1) * chunk)
-        return th_lp, th_ix, buf_tok, buf_lp, buf_valid, dead, covered, it + 1
+        return th_lp, th_ix, buf_tok, buf_lp, buf_valid, dead, covered, bcounts, it + 1
 
-    state = (th_lp0, th_ix0, buf_tok, buf_lp, buf_valid, dead0, covered0, jnp.int32(0))
-    _, _, buf_tok, buf_lp, buf_valid, _, _, _ = lax.while_loop(cond, body, state)
+    state = (
+        th_lp0, th_ix0, buf_tok, buf_lp, buf_valid, dead0, covered0, bc0,
+        jnp.int32(0),
+    )
+    _, _, buf_tok, buf_lp, buf_valid, _, _, _, _ = lax.while_loop(cond, body, state)
 
     # unfilled slots become PAD candidates at PAD's true log-prob, matching
     # what the dense mode scores for the finished->PAD branch
@@ -429,6 +450,49 @@ def _apply_branches(cfg: DecodeConfig, tokens, fm_valid, cand_lp, prev_count, fi
     if cfg.always_allow_eos:
         allowed = allowed | is_eos
     return tokens, allowed, cand_lp
+
+
+TOK_BITS = 17  # token-id field width in selection tie-break ids (vocab < 2^17)
+
+
+def _top_by_score_then_id(score, tie_id, k: int):
+    """Indices of the ``k`` best entries by (score desc, tie_id asc).
+
+    Dense parity mode indexes candidates by (beam, token id), so every
+    equal-score tie must resolve to that order whichever slot discovered a
+    token.  Floats map monotonically to uint32 (sign-flip trick) and a
+    two-key ``lax.sort`` implements the lexicographic order -- int64 key
+    packing is unavailable without the x64 flag.  Scores are never NaN here;
+    masked slots carry NEG_INF.
+    """
+    u = lax.bitcast_convert_type(jnp.asarray(score, jnp.float32), jnp.uint32)
+    mono = jnp.where(u >= jnp.uint32(2**31), ~u, u | jnp.uint32(2**31))
+    idx = jnp.broadcast_to(
+        jnp.arange(score.shape[-1], dtype=jnp.int32), score.shape
+    )
+    _, _, out = lax.sort(
+        (~mono, jnp.asarray(tie_id, jnp.int32), idx),
+        dimension=-1,
+        num_keys=2,
+        is_stable=False,
+    )
+    return out[..., :k]
+
+
+def _beam_tok_tie(flat_tok, ncand: int):
+    """Tie-break ids for a [B, K*ncand] candidate axis: (parent beam, token)
+    in dense mode's beam-major flat order."""
+    parent = jnp.arange(flat_tok.shape[-1], dtype=jnp.int32) // ncand
+    tok = jnp.clip(flat_tok, 0, (1 << TOK_BITS) - 1)
+    return (parent << TOK_BITS) + tok
+
+
+def _top_idx(cfg: DecodeConfig, score, tie_id, k: int):
+    """Top-k indices by score; ``exact_ties`` adds the (beam, token) order."""
+    if cfg.exact_ties:
+        return _top_by_score_then_id(score, tie_id, k)
+    _, idx = lax.top_k(score, k)
+    return idx
 
 
 def _dedup_mask(tokens):
@@ -461,7 +525,12 @@ def _select(cfg: DecodeConfig, cons_scores, uncons_scores, tokens, K):
     flat_uncons = uncons_scores.reshape(B, K * ncand)
     flat_tok = tokens.reshape(B, K * ncand)
 
-    top_cons, top_idx = lax.top_k(flat_cons, 2 * K)  # [B, 2K]
+    # under exact_ties equal scores tie-break (beam, token)-ascending, the
+    # dense mode's flat candidate order
+    top_idx = _top_idx(
+        cfg, flat_cons, _beam_tok_tie(flat_tok, ncand), 2 * K
+    )  # [B, 2K]
+    top_cons = jnp.take_along_axis(flat_cons, top_idx, axis=-1)
     top_tok = jnp.take_along_axis(flat_tok, top_idx, axis=-1)
     top_uncons = jnp.take_along_axis(flat_uncons, top_idx, axis=-1)
     top_parent = (top_idx // ncand).astype(jnp.int32)
@@ -542,7 +611,8 @@ def _select_diverse(cfg: DecodeConfig, cons_cum, tokens, K):
 
         flat = sc.reshape(B, gs * ncand)
         flat_tok = tk.reshape(B, gs * ncand)
-        top_sc, top_idx = lax.top_k(flat, 2 * gs)
+        top_idx = _top_idx(cfg, flat, _beam_tok_tie(flat_tok, ncand), 2 * gs)
+        top_sc = jnp.take_along_axis(flat, top_idx, -1)
         top_tok = jnp.take_along_axis(flat_tok, top_idx, -1)
         top_par = (top_idx // ncand).astype(jnp.int32) + g * gs
         finite = top_sc > NEG_INF / 4

@@ -163,6 +163,7 @@ def fm_index_generate(
     dense_chunk: int = 2048,
     speculative: bool = False,
     exact_mask: bool = False,
+    exact_ties: bool = False,
     sample: bool = False,
     topk: int = 0,
     diverse_bs_groups: int = 1,
@@ -201,6 +202,7 @@ def fm_index_generate(
         dense_chunk=dense_chunk,
         speculative=speculative,
         exact_mask=exact_mask,
+        exact_ties=exact_ties,
         sample=sample,
         topk=topk,
         num_groups=diverse_bs_groups,

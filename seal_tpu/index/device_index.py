@@ -50,7 +50,11 @@ def build_bucket_occ(
     bucket_size = max(1, -(-int(sigma_global) // n_buckets))
     n = int(bwt.shape[0])
     n_blocks = -(-n // bucket_rows)
-    ids = bwt.astype(np.int64) // bucket_size
+    # symbols >= sigma_global (corpus tokens outside the model vocab) route
+    # to the dropped pad column: they are unproposable, and without the
+    # clamp their ids would spill into the NEXT block's bucket 0, corrupting
+    # the exact-mode support pruning
+    ids = np.minimum(bwt.astype(np.int64) // bucket_size, n_buckets)
     pad = n_blocks * bucket_rows - n
     if pad:
         ids = np.concatenate([ids, np.full(pad, n_buckets, np.int64)])

@@ -224,6 +224,7 @@ class FMIndex:
 
     def _derive(self) -> None:
         """Compute psi, C and the step-1 token statistics from text+sa."""
+        self._beg_arr = None  # every (re)build path runs through here
         n = self.text.size
         dtype = np.int32 if n < 2**31 else np.int64
         self.sa = self.sa.astype(dtype)

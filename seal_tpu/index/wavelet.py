@@ -79,6 +79,10 @@ class WaveletFMIndex:
     def from_host(cls, index: FMIndex, vocab: int | None = None) -> "WaveletFMIndex":
         bwt = np.asarray(index.bwt, np.int64)
         n = bwt.size
+        if n >= 2**31:
+            # node offsets / ranks are int32 on device; larger corpora must
+            # shard (parallel/sharded_index.py) until uint32 plumbing lands
+            raise ValueError("corpora >= 2^31 rows need the sharded index")
         sigma = int(index.C.size - 1)
         if vocab is None:
             vocab = max(sigma - SHIFT, 1)

@@ -33,6 +33,7 @@ from jax import lax
 
 from seal_tpu.index.device_index import DeviceFMIndex
 from seal_tpu.index.fm_index import SHIFT
+from seal_tpu.ops import _generic
 
 
 def _searchsorted_psi(index: DeviceFMIndex, lo, hi, pos):
@@ -104,25 +105,8 @@ def backward_step(index: DeviceFMIndex, token, lo, hi):
 
 
 def range_for_sequences(index: DeviceFMIndex, tokens, lengths):
-    """Row ranges for a batch of padded token sequences.
-
-    tokens: int32 [..., L] (unshifted); lengths: int32 [...].
-    Positions >= length are ignored.  Returns (lo, hi) of shape [...].
-    """
-    tokens = jnp.asarray(tokens, jnp.int32)
-    lengths = jnp.asarray(lengths, jnp.int32)
-    lo, hi = index.full_range(tokens.shape[:-1])
-
-    def body(carry, tok_t):
-        lo, hi, t = carry
-        new_lo, new_hi = backward_step(index, tok_t, lo, hi)
-        keep = t < lengths
-        lo = jnp.where(keep, new_lo, lo)
-        hi = jnp.where(keep, new_hi, hi)
-        return (lo, hi, t + 1), None
-
-    (lo, hi, _), _ = lax.scan(body, (lo, hi, jnp.int32(0)), jnp.moveaxis(tokens, -1, 0))
-    return lo, hi
+    """Row ranges for padded token sequences (see ``ops._generic``)."""
+    return _generic.range_for_sequences(backward_step, index, tokens, lengths)
 
 
 def count_sequences(index: DeviceFMIndex, tokens, lengths):
@@ -146,25 +130,8 @@ def bwt_at(index: DeviceFMIndex, rows):
 
 
 def window_continuations(index: DeviceFMIndex, lo, hi, window: int):
-    """Continuation tokens sampled from rows of [lo, hi).
-
-    Returns (tokens [..., window], valid [..., window]).  Exhaustive when
-    ``hi - lo <= window``; otherwise a *strided* deterministic sample
-    spanning the whole interval (suffix-array order interleaves contexts, so
-    a stride covers far more distinct continuations than a prefix window).
-    Invalid/sentinel slots are -1.
-    """
-    lo = jnp.asarray(lo, jnp.int32)
-    hi = jnp.asarray(hi, jnp.int32)
-    size = jnp.maximum(hi - lo, 0)
-    stride = jnp.maximum(size // window, 1)[..., None]
-    offs = jnp.arange(window, dtype=jnp.int32)
-    rows = lo[..., None] + offs * stride
-    valid = rows < hi[..., None]
-    safe_rows = jnp.where(valid, rows, 0)
-    toks = bwt_at(index, safe_rows)
-    valid = valid & (toks >= 0)
-    return jnp.where(valid, toks, -1), valid
+    """Strided/exhaustive interval enumeration (see ``ops._generic``)."""
+    return _generic.window_continuations(bwt_at, index, lo, hi, window)
 
 
 def _bwt_shifted(index: DeviceFMIndex, rows):
@@ -174,6 +141,11 @@ def _bwt_shifted(index: DeviceFMIndex, rows):
     prev = index.sa[rows] - 1
     prev = jnp.where(prev < 0, index.n_rows - 1, prev)
     return index.text[prev].astype(jnp.int32)
+
+
+def bucket_counts_width(index: DeviceFMIndex) -> int:
+    """Static width of ``bucket_counts`` output (for loop-carried buffers)."""
+    return int(index.bucket_occ.shape[-1])
 
 
 def bucket_counts(index: DeviceFMIndex, lo, hi):
@@ -223,11 +195,7 @@ def validate_tokens(index: DeviceFMIndex, tokens, lo, hi):
     Replaces the reference's per-beam ``distinct_count_multi`` fan-out with
     2*M rank queries per range.
     """
-    tokens = jnp.asarray(tokens, jnp.int32)
-    lo_b = jnp.broadcast_to(lo[..., None], tokens.shape)
-    hi_b = jnp.broadcast_to(hi[..., None], tokens.shape)
-    new_lo, new_hi = backward_step(index, tokens, lo_b, hi_b)
-    return new_hi - new_lo
+    return _generic.validate_tokens(backward_step, index, tokens, lo, hi)
 
 
 def extend_ranges(index: DeviceFMIndex, tokens, lo, hi):
@@ -260,19 +228,4 @@ def dense_counts(index: DeviceFMIndex, lo, hi, chunk: int = 4096):
     tests / exact mode on small problems; production decoding uses
     window+validate.
     """
-    lo = jnp.asarray(lo, jnp.int32)
-    hi = jnp.asarray(hi, jnp.int32)
-    vocab = index.vocab
-    pad = (-vocab) % chunk
-    n_chunks = (vocab + pad) // chunk
-
-    def body(start, _):
-        toks = start + jnp.arange(chunk, dtype=jnp.int32)
-        toks_b = jnp.broadcast_to(toks, lo.shape + (chunk,))
-        cnt = validate_tokens(index, toks_b, lo, hi)
-        return start + chunk, cnt
-
-    _, chunks = lax.scan(body, jnp.int32(0), None, length=n_chunks)
-    # chunks: [n_chunks, ..., chunk] -> [..., n_chunks*chunk]
-    counts = jnp.moveaxis(chunks, 0, -2).reshape(lo.shape + (n_chunks * chunk,))
-    return counts[..., :vocab]
+    return _generic.dense_counts(validate_tokens, index, lo, hi, chunk)

@@ -15,6 +15,7 @@ from jax import lax
 
 from seal_tpu.index.fm_index import SHIFT
 from seal_tpu.index.wavelet import BUCKET_DEPTH, WaveletFMIndex
+from seal_tpu.ops import _generic
 
 
 def _rank1(index: WaveletFMIndex, level: int, pos):
@@ -96,21 +97,13 @@ def backward_step(index: WaveletFMIndex, token, lo, hi):
     return new_lo.astype(jnp.int32), new_hi.astype(jnp.int32)
 
 
+def bwt_at(index: WaveletFMIndex, rows):
+    """BWT symbols at rows, *unshifted* (sentinel -> -1)."""
+    return access(index, rows).astype(jnp.int32) - SHIFT
+
+
 def range_for_sequences(index: WaveletFMIndex, tokens, lengths):
-    tokens = jnp.asarray(tokens, jnp.int32)
-    lengths = jnp.asarray(lengths, jnp.int32)
-    lo, hi = index.full_range(tokens.shape[:-1])
-
-    def body(carry, tok_t):
-        lo, hi, t = carry
-        new_lo, new_hi = backward_step(index, tok_t, lo, hi)
-        keep = t < lengths
-        lo = jnp.where(keep, new_lo, lo)
-        hi = jnp.where(keep, new_hi, hi)
-        return (lo, hi, t + 1), None
-
-    (lo, hi, _), _ = lax.scan(body, (lo, hi, jnp.int32(0)), jnp.moveaxis(tokens, -1, 0))
-    return lo, hi
+    return _generic.range_for_sequences(backward_step, index, tokens, lengths)
 
 
 def count_sequences(index: WaveletFMIndex, tokens, lengths):
@@ -118,34 +111,21 @@ def count_sequences(index: WaveletFMIndex, tokens, lengths):
     return hi - lo
 
 
-def bwt_at(index: WaveletFMIndex, rows):
-    """BWT symbols at rows, *unshifted* (sentinel -> -1)."""
-    return access(index, rows).astype(jnp.int32) - SHIFT
-
-
 def window_continuations(index: WaveletFMIndex, lo, hi, window: int):
-    lo = jnp.asarray(lo, jnp.int32)
-    hi = jnp.asarray(hi, jnp.int32)
-    size = jnp.maximum(hi - lo, 0)
-    stride = jnp.maximum(size // window, 1)[..., None]
-    offs = jnp.arange(window, dtype=jnp.int32)
-    rows = lo[..., None] + offs * stride
-    valid = rows < hi[..., None]
-    toks = bwt_at(index, jnp.where(valid, rows, 0))
-    valid = valid & (toks >= 0)
-    return jnp.where(valid, toks, -1), valid
+    return _generic.window_continuations(bwt_at, index, lo, hi, window)
 
 
 def validate_tokens(index: WaveletFMIndex, tokens, lo, hi):
-    tokens = jnp.asarray(tokens, jnp.int32)
-    lo_b = jnp.broadcast_to(lo[..., None], tokens.shape)
-    hi_b = jnp.broadcast_to(hi[..., None], tokens.shape)
-    new_lo, new_hi = backward_step(index, tokens, lo_b, hi_b)
-    return new_hi - new_lo
+    return _generic.validate_tokens(backward_step, index, tokens, lo, hi)
 
 
 def extend_ranges(index: WaveletFMIndex, tokens, lo, hi):
     return backward_step(index, tokens, lo, hi)
+
+
+def bucket_counts_width(index: WaveletFMIndex) -> int:
+    """Static width of ``bucket_counts`` output (for loop-carried buffers)."""
+    return 1 << min(BUCKET_DEPTH, index.levels)
 
 
 def bucket_counts(index: WaveletFMIndex, lo, hi):
@@ -183,18 +163,4 @@ def bucket_size_of(index: WaveletFMIndex) -> int:
 
 
 def dense_counts(index: WaveletFMIndex, lo, hi, chunk: int = 4096):
-    lo = jnp.asarray(lo, jnp.int32)
-    hi = jnp.asarray(hi, jnp.int32)
-    vocab = index.vocab
-    pad = (-vocab) % chunk
-    n_chunks = (vocab + pad) // chunk
-
-    def body(start, _):
-        toks = start + jnp.arange(chunk, dtype=jnp.int32)
-        toks_b = jnp.broadcast_to(toks, lo.shape + (chunk,))
-        cnt = validate_tokens(index, toks_b, lo, hi)
-        return start + chunk, cnt
-
-    _, chunks = lax.scan(body, jnp.int32(0), None, length=n_chunks)
-    counts = jnp.moveaxis(chunks, 0, -2).reshape(lo.shape + (n_chunks * chunk,))
-    return counts[..., :vocab]
+    return _generic.dense_counts(validate_tokens, index, lo, hi, chunk)

@@ -131,6 +131,9 @@ class ShardedIndexOps:
     def bucket_size(self):
         return self.dev.bucket_size
 
+    def n_buckets(self):
+        return fm_ops.bucket_counts_width(self.dev)
+
     def dense_counts(self, lo, hi, chunk):
         return lax.psum(fm_ops.dense_counts(self.dev, lo, hi, chunk=chunk), self.axis)
 
@@ -217,6 +220,7 @@ def sharded_fm_index_generate(
         exact_chunk=kwargs.pop("exact_chunk", 64),
         speculative=kwargs.pop("speculative", False),
         exact_mask=kwargs.pop("exact_mask", False),
+        exact_ties=kwargs.pop("exact_ties", False),
         sample=kwargs.pop("sample", False),
         topk=kwargs.pop("topk", 0),
         num_groups=kwargs.pop("diverse_bs_groups", 1),

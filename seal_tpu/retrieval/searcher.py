@@ -110,6 +110,7 @@ class SEALSearcher:
         "speculative": False,  # opt-in: single approximate proposal round
         #   (default is the exact proposal loop: dense-mask semantics)
         "exact_mask": False,  # dense O(vocab) constraint mask (parity mode)
+        "exact_ties": False,  # (beam, token)-ordered equal-score tie breaks
         "compact_index": False,  # wavelet-tree device index (~2.6 B/token)
         "pipeline": True,  # overlap device generation with host aggregation
         "index_shards": 0,  # >1: partition the index over the device mesh
@@ -164,6 +165,11 @@ class SEALSearcher:
 
         self.metrics = ServingMetrics()
         self.set_params(kwargs)
+        if self.index_shards > 1 and sharded_index is None:
+            raise ValueError(
+                "index_shards>1 requires the sharded build path: use "
+                "SEALSearcher.load(..., index_shards=N) or build_sharded()"
+            )
 
         backbone = self.backbone
         if "bart" in backbone:
@@ -323,10 +329,12 @@ class SEALSearcher:
         n_shards = int(params.pop("index_shards", 0) or 0)
         if n_shards > 1:
             # re-split the loaded corpus into per-device shards (config 5):
-            # one-time cost at load, bit-identical decode vs monolithic
+            # one-time cost at load, bit-identical decode vs monolithic.
+            # numpy slice views, not .tolist() -- per-doc Python int lists
+            # would cost ~7x the corpus bytes in transient RAM
             flat, off = fm_index.get_docs_flat(list(range(fm_index.n_docs)))
             docs = [
-                flat[off[i] : off[i + 1]].tolist() for i in range(fm_index.n_docs)
+                flat[off[i] : off[i + 1]] for i in range(fm_index.n_docs)
             ]
             labels = fm_index.labels or [str(i) for i in range(fm_index.n_docs)]
             return cls.build_sharded(
@@ -478,6 +486,7 @@ class SEALSearcher:
             window=self.window,
             speculative=self.speculative,
             exact_mask=self.exact_mask,
+            exact_ties=self.exact_ties,
             topk=self.topk,
             diverse_bs_groups=self.diverse_bs_groups,
             diverse_bs_penalty=self.diverse_bs_penalty,

@@ -58,6 +58,37 @@ def test_exact_loop_matches_dense(setup, seed, stop_at_count):
         assert _hyps_key(ql) == _hyps_key(qd)
 
 
+def test_tied_logits_match_dense(setup):
+    """Adversarial exact ties: a block of tokens shares identical logits at
+    every step (duplicate embedding rows).  Tie retention and ordering must
+    resolve token-ascending, exactly like the dense token-indexed mode."""
+    import jax.numpy as jnp
+
+    cfg, params = setup
+    rng = np.random.default_rng(11)
+    tied = list(range(10, 26))
+    docs = [
+        [int(t) for t in rng.choice(tied, size=10)] + [2] for _ in range(30)
+    ]
+    host = FMIndex()
+    host.initialize(docs)
+    idx = DeviceFMIndex.from_host(host, vocab=96)
+    params2 = dict(params)
+    shared = np.array(params2["shared"])
+    shared[tied] = shared[tied[0]]
+    params2["shared"] = jnp.asarray(shared)
+    queries = [[0] + rng.integers(4, 90, size=4).tolist() + [2] for _ in range(2)]
+    ids, mask = pad_batch(queries, cfg.pad_token_id)
+    common = dict(num_beams=4, max_length=5, min_length=1,
+                  forced_bos_token_id=None, exact_ties=True)
+    loop = fm_index_generate(
+        cfg, params2, idx, ids, mask, top_m=8, window=4, exact_chunk=4, **common
+    )
+    dense = fm_index_generate(cfg, params2, idx, ids, mask, exact_mask=True, **common)
+    for ql, qd in zip(loop, dense):
+        assert _hyps_key(ql) == _hyps_key(qd)
+
+
 def test_skewed_corpus_few_continuations(setup):
     """Adversarial shape: huge interval, few distinct continuations.
 
