@@ -102,16 +102,7 @@ def main(argv=None):
 
     searcher = SEALSearcher.from_args(args)
 
-    def chunks(it, n):
-        buf = []
-        for x in it:
-            buf.append(x)
-            if len(buf) == n:
-                yield buf
-                buf = []
-        if buf:
-            yield buf
-
+    from seal_tpu.utils.batching import chunks
     from seal_tpu.utils.profiling import device_trace
 
     with output_writer, device_trace(args.profile_dir):

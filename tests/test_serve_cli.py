@@ -32,10 +32,52 @@ def index_dir(tmp_path_factory):
     return d
 
 
+def test_adaptive_batches_flushes_on_idle_pipe():
+    """A trickling client on a pipe gets its partial batch flushed instead
+    of waiting for batch_size lines or EOF."""
+    import os
+    import threading
+
+    from seal_tpu.utils.batching import adaptive_batches
+
+    r_fd, w_fd = os.pipe()
+    r = os.fdopen(r_fd, "r")
+    w = os.fdopen(w_fd, "w")
+    got = []
+    done = threading.Event()
+
+    def consume():
+        for batch in adaptive_batches(r, lambda x: x.strip() or None, n=20):
+            got.append(batch)
+            if len(got) == 1:
+                done.set()
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    w.write("one\n")
+    w.flush()
+    # pipe stays OPEN: the single line must still come through
+    assert done.wait(timeout=10), "partial batch was not flushed while idle"
+    assert got[0] == ["one"]
+    w.close()
+    t.join(timeout=10)
+    r.close()
+
+
+def test_adaptive_batches_stringio_fallback():
+    from seal_tpu.utils.batching import adaptive_batches
+
+    s = io.StringIO("a\nb\nc\n")
+    batches = list(adaptive_batches(s, lambda x: x.strip() or None, n=2))
+    assert batches == [["a", "b"], ["c"]]
+
+
 def test_serve_jsonl_roundtrip(index_dir):
     d = index_dir
     queries = io.StringIO(
         json.dumps({"id": "q7", "query": "eating soup with a fork"}) + "\n"
+        + "42\n"  # malformed: non-dict/non-string JSON -- must be skipped
+        + json.dumps({"id": "nope"}) + "\n"  # malformed: no "query"
         + "spearing solid food utensil\n"  # bare-string form
     )
     out = io.StringIO()
