@@ -142,7 +142,7 @@ def main():
         return fm_index_generate(
             cfg, params, index, ids, mask,
             num_beams=beam, max_length=length, min_length=length - 1,
-            forced_bos_token_id=None, top_m=256, window=128,
+            forced_bos_token_id=None,
         )
 
     t0 = time.time()

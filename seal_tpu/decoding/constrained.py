@@ -452,6 +452,22 @@ def _apply_branches(cfg: DecodeConfig, tokens, fm_valid, cand_lp, prev_count, fi
     return tokens, allowed, cand_lp
 
 
+def resolve_window(window: int, num_beams: int, speculative: bool) -> int:
+    """0/None = auto.  Measured on v5e (BASELINE.md): small beams prefer a
+    narrow window (the exempt short-circuit rarely pays; slot width is pure
+    overhead -- beam 15: 102 vs 97 q/s at 32 vs 128), large beams prefer a
+    wide one (2K-sized buffers are hard to fill, so exempting mid-size
+    intervals avoids proposal rounds -- beam 32: 30.5 vs 29.2 q/s at 128 vs
+    32).  Speculative mode keeps 128: there the window is a FIDELITY budget
+    (round-1 measurements are at 256/128), not just a fast path.
+    """
+    if window:
+        return window
+    if speculative:
+        return 128
+    return 32 if num_beams <= 16 else 128
+
+
 TOK_BITS = 17  # token-id field width in selection tie-break ids (vocab < 2^17)
 
 

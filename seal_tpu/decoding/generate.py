@@ -21,6 +21,7 @@ from seal_tpu.decoding.constrained import (
     BeamSearchOutput,
     DecodeConfig,
     constrained_beam_search,
+    resolve_window,
 )
 from seal_tpu.index.device_index import DeviceFMIndex
 from seal_tpu.models import api as model_api
@@ -158,7 +159,7 @@ def fm_index_generate(
     stop_at_count: int = 0,
     forced_bos_token_id: Optional[int] = "default",
     top_m: int = 256,
-    window: int = 128,
+    window: int = 0,  # 0 = auto (constrained.resolve_window)
     exact_chunk: int = 64,
     dense_chunk: int = 2048,
     speculative: bool = False,
@@ -197,7 +198,7 @@ def fm_index_generate(
         always_allow_eos=always_allow_eos,
         disable_fm_index=disable_fm_index,
         top_m=min(top_m, model_cfg.vocab_size),
-        window=window,
+        window=resolve_window(window, num_beams, speculative),
         exact_chunk=exact_chunk,
         dense_chunk=dense_chunk,
         speculative=speculative,

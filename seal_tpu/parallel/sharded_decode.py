@@ -30,7 +30,11 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from seal_tpu.decoding.constrained import DecodeConfig, constrained_beam_search
+from seal_tpu.decoding.constrained import (
+    DecodeConfig,
+    constrained_beam_search,
+    resolve_window,
+)
 from seal_tpu.decoding.generate import extract_hypotheses, pad_batch
 from seal_tpu.index.device_index import DeviceFMIndex
 from seal_tpu.models import api as model_api
@@ -203,8 +207,9 @@ def sharded_fm_index_generate(
     eos = kwargs.pop("eos_token_id", None)
     forced_bos = kwargs.pop("forced_bos_token_id", model_cfg.forced_bos_token_id)
     force_from = kwargs.pop("force_decoding_from", None)
+    num_beams = kwargs.pop("num_beams", 3)
     dcfg = DecodeConfig(
-        num_beams=kwargs.pop("num_beams", 3),
+        num_beams=num_beams,
         max_length=kwargs.pop("max_length", 25),
         min_length=kwargs.pop("min_length", 3),
         eos_token_id=int(eos if eos is not None else model_cfg.eos_token_id),
@@ -216,7 +221,9 @@ def sharded_fm_index_generate(
         always_allow_eos=kwargs.pop("always_allow_eos", False),
         disable_fm_index=kwargs.pop("disable_fm_index", False),
         top_m=min(kwargs.pop("top_m", 256), model_cfg.vocab_size),
-        window=kwargs.pop("window", 128),
+        window=resolve_window(
+            kwargs.pop("window", 0), num_beams, kwargs.get("speculative", False)
+        ),
         exact_chunk=kwargs.pop("exact_chunk", 64),
         speculative=kwargs.pop("speculative", False),
         exact_mask=kwargs.pop("exact_mask", False),

@@ -106,7 +106,7 @@ class SEALSearcher:
         "force_decoding_second_token": -1,
         # --- TPU-build extensions (not in the reference) ------------------
         "top_m": 256,  # LM candidates validated per beam per proposal round
-        "window": 128,  # enumerated BWT rows per beam per step
+        "window": 0,  # enumerated BWT rows per beam per step (0 = auto by beam)
         "speculative": False,  # opt-in: single approximate proposal round
         #   (default is the exact proposal loop: dense-mask semantics)
         "exact_mask": False,  # dense O(vocab) constraint mask (parity mode)
