@@ -58,6 +58,31 @@ from seal_tpu.ops import fm_ops
 
 NEG_INF = float(np.finfo(np.float32).min) / 2  # large-negative, -inf-safe
 
+# Dense parity mode (exact_mask=True) materializes several [B, K, V]
+# tensors plus a packed sort over B x (K*V) keys per decode step.  Past
+# ~2^24 candidate slots this has been observed to hard-crash the TPU
+# worker (kernel fault) rather than fail cleanly -- e.g. batch 32 x beam
+# 15 x 50k vocab = 24.1M slots.  Refuse before dispatch instead; the
+# default exact proposal loop is bit-identical to dense semantics at any
+# shape and is the production path.
+DENSE_MASK_BUDGET = 1 << 24
+
+
+def check_dense_budget(cfg: "DecodeConfig", batch: int, vocab: int) -> None:
+    """Raise before dispatch when the dense parity mask would be too large."""
+    if not cfg.exact_mask or cfg.disable_fm_index:
+        return
+    slots = batch * cfg.num_beams * vocab
+    if slots > DENSE_MASK_BUDGET:
+        raise ValueError(
+            f"exact_mask=True would materialize a dense constraint mask of "
+            f"{batch} (batch) x {cfg.num_beams} (beams) x {vocab} (vocab) = "
+            f"{slots} slots, over the budget of {DENSE_MASK_BUDGET}; shapes "
+            f"this large crash the TPU worker. Use the default exact "
+            f"proposal loop (exact_mask=False -- bit-identical results), or "
+            f"reduce the batch size."
+        )
+
 
 class SingleIndexOps:
     """Constraint-op adapter over one device index.

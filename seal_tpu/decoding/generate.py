@@ -20,6 +20,7 @@ import numpy as np
 from seal_tpu.decoding.constrained import (
     BeamSearchOutput,
     DecodeConfig,
+    check_dense_budget,
     constrained_beam_search,
     resolve_window,
 )
@@ -209,6 +210,7 @@ def fm_index_generate(
         num_groups=diverse_bs_groups,
         diversity_penalty=diverse_bs_penalty,
     )
+    check_dense_budget(dcfg, int(np.asarray(input_ids).shape[0]), model_cfg.vocab_size)
     run = _jitted_search(model_cfg, dcfg, mesh)
     out = run(
         params,

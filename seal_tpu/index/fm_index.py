@@ -474,7 +474,9 @@ class FMIndex:
         array from the Python list each call dominated the stage-1 host cost
         (~30% of a profiled end-to-end batch).  The cache invalidates on
         list identity/length/endpoint change, so build-time appends and
-        wholesale reassignment both refresh it.
+        wholesale reassignment both refresh it.  In-place mutation of
+        *interior* entries is NOT detected -- no code path does that; any
+        future one must call :meth:`invalidate_doc_boundaries`.
         """
         key = (
             id(self.beginnings),
@@ -483,5 +485,13 @@ class FMIndex:
         )
         if self._beg_arr is None or self._beg_key != key:
             self._beg_arr = np.asarray(self.beginnings, dtype=np.int64)
+            self._beg_arr.setflags(write=False)
             self._beg_key = key
         return self._beg_arr
+
+    def invalidate_doc_boundaries(self) -> None:
+        """Drop the cached :meth:`doc_boundaries` array.  Required after any
+        in-place mutation of interior ``beginnings`` entries (appends and
+        reassignment are detected automatically)."""
+        self._beg_arr = None
+        self._beg_key = None

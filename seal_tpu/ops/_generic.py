@@ -55,7 +55,11 @@ def window_continuations(bwt_at, index, lo, hi, window: int):
     rows = lo[..., None] + offs * stride
     valid = rows < hi[..., None]
     toks = bwt_at(index, jnp.where(valid, rows, 0))
-    valid = valid & (toks >= 0)
+    # Corpus symbols outside the model vocab (index built with vocab <
+    # corpus alphabet) must be filtered here at the source: downstream
+    # take_along_axis(logprobs, tok) on such a token reads out of bounds
+    # and can yield NaN, which lax.top_k ranks first and poisons beams.
+    valid = valid & (toks >= 0) & (toks < index.vocab)
     return jnp.where(valid, toks, -1), valid
 
 

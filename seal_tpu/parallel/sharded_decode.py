@@ -32,6 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from seal_tpu.decoding.constrained import (
     DecodeConfig,
+    check_dense_budget,
     constrained_beam_search,
     resolve_window,
 )
@@ -235,6 +236,7 @@ def sharded_fm_index_generate(
     )
     if kwargs:
         raise TypeError(f"unexpected kwargs: {sorted(kwargs)}")
+    check_dense_budget(dcfg, int(np.asarray(input_ids).shape[0]), model_cfg.vocab_size)
     statics = (
         sharded_index.bwt.shape[1],
         sharded_index.C.shape[1] - 1,

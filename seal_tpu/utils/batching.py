@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 import select
 from typing import Iterable, Iterator, List
 
@@ -45,21 +46,40 @@ def adaptive_batches(stream, parse, n: int) -> Iterator[List]:
             yield buf
         return
 
-    while True:
-        line = stream.readline()
-        if not line:  # EOF
-            break
-        item = parse(line)
-        if item is not None:
-            buf.append(item)
-        if len(buf) >= n:
-            yield buf
-            buf = []
-        elif buf:
+    # Read raw bytes straight off the fd: mixing select() with buffered
+    # stream.readline() would leave lines invisible to select in the
+    # user-space buffer, fragmenting bursts into premature 1-line flushes.
+    # Our own byte buffer only ever holds a *partial* line when we reach
+    # the idle check, so select() reflects all actually-pending input.
+    data = bytearray()
+    eof = False
+    while not eof:
+        chunk = os.read(fd, 65536)
+        if not chunk:
+            eof = True
+        else:
+            data += chunk
+        while True:
+            nl = data.find(b"\n")
+            if nl < 0:
+                break
+            line = data[: nl + 1].decode("utf-8", "replace")
+            del data[: nl + 1]
+            item = parse(line)
+            if item is not None:
+                buf.append(item)
+            if len(buf) >= n:
+                yield buf
+                buf = []
+        if buf and not eof:
             # flush when no further input is immediately available
             ready, _, _ = select.select([fd], [], [], 0)
             if not ready:
                 yield buf
                 buf = []
+    if data:  # trailing line without newline at EOF
+        item = parse(data.decode("utf-8", "replace"))
+        if item is not None:
+            buf.append(item)
     if buf:
         yield buf

@@ -145,3 +145,22 @@ def test_forced_bos(world):
         for _, toks in hyps:
             assert toks[0] == cfg.decoder_start_token_id
             assert toks[1] == 0
+
+
+def test_dense_budget_guard(world):
+    """exact_mask at TPU-worker-crashing shapes must fail BEFORE dispatch
+    with an actionable error (CLAUDE.md gotcha: batch 32 x beam 15 x 50k
+    vocab hard-crashes the worker instead of OOMing)."""
+    from seal_tpu.decoding import constrained
+
+    cfg, params, host, dev, ids, mask = world
+    old = constrained.DENSE_MASK_BUDGET
+    constrained.DENSE_MASK_BUDGET = 100  # 2 queries x 3 beams x 60 vocab = 360
+    try:
+        with pytest.raises(ValueError, match="dense constraint mask"):
+            fm_index_generate(
+                cfg, params, dev, ids, mask,
+                num_beams=3, max_length=5, min_length=0, exact_mask=True,
+            )
+    finally:
+        constrained.DENSE_MASK_BUDGET = old

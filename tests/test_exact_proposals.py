@@ -113,3 +113,33 @@ def test_skewed_corpus_few_continuations(setup):
     dense = fm_index_generate(cfg, params, idx, ids, mask, exact_mask=True, **common)
     for ql, qd in zip(loop, dense):
         assert _hyps_key(ql) == _hyps_key(qd)
+
+
+def test_oov_corpus_symbols_never_proposed(setup):
+    """Index built with model vocab SMALLER than the corpus alphabet: the
+    out-of-vocab symbols are legal corpus continuations but must never be
+    proposed (window enumeration reads them straight off the BWT; an OOV
+    token indexed into [.., vocab] logprobs yields garbage/NaN which top_k
+    ranks first).  Advisor round-2 medium finding."""
+    cfg, params = setup  # model vocab 96
+    rng = np.random.default_rng(5)
+    # corpus alphabet reaches 140 -- symbols 96..139 are out of model vocab
+    docs = [
+        rng.integers(4, 140, size=rng.integers(8, 25)).tolist() + [2]
+        for _ in range(40)
+    ]
+    host = FMIndex()
+    host.initialize(docs)
+    idx = DeviceFMIndex.from_host(host, vocab=96)
+    queries = [[0] + rng.integers(4, 90, size=4).tolist() + [2] for _ in range(2)]
+    ids, mask = pad_batch(queries, cfg.pad_token_id)
+    common = dict(num_beams=4, max_length=6, min_length=1, forced_bos_token_id=None)
+    loop = fm_index_generate(
+        cfg, params, idx, ids, mask, top_m=8, window=4, exact_chunk=4, **common
+    )
+    dense = fm_index_generate(cfg, params, idx, ids, mask, exact_mask=True, **common)
+    for ql, qd in zip(loop, dense):
+        for s, toks in ql:
+            assert all(t < 96 for t in toks), toks
+            assert np.isfinite(s), (s, toks)
+        assert _hyps_key(ql) == _hyps_key(qd)
