@@ -50,12 +50,16 @@ def _retrieve_from_keys_mp_aux(args):
 
 
 def _detokenize_mp_aux(args):
+    # reference detokenization strips surrounding whitespace
+    # (retrieval.py:778,823); the lazy SEALDocument.text() path does not
     idx, title_tokens, body_tokens = args
     tok = _MP_REGISTRY[idx].tokenizer
     title = (
-        tok.decode(title_tokens, skip_special_tokens=True) if title_tokens else ""
+        tok.decode(title_tokens, skip_special_tokens=True).strip()
+        if title_tokens
+        else ""
     )
-    return title, tok.decode(body_tokens, skip_special_tokens=True)
+    return title, tok.decode(body_tokens, skip_special_tokens=True).strip()
 
 
 class SEALSearcher:
@@ -823,8 +827,18 @@ class SEALSearcher:
                 if self.jobs > 2 and len(flat) > 1:
                     self._mp_detokenize(flat)
                 else:
+                    # reference detokenize_retrieved strips surrounding
+                    # whitespace (retrieval.py:777-778), unlike lazy .text()
                     for d in flat:
-                        d.text()
+                        tt, bt = d.split_tokens(d.raw_tokens())
+                        d._title = (
+                            self.tokenizer.decode(tt, skip_special_tokens=True).strip()
+                            if tt
+                            else ""
+                        )
+                        d._body = self.tokenizer.decode(
+                            bt, skip_special_tokens=True
+                        ).strip()
         if timer_log:
             timer.log_summary()
         self.metrics.observe_batch(
