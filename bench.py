@@ -9,11 +9,14 @@ weight-independent).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "mfu", ...}.
 
-``vs_baseline`` compares against 2.0 queries/sec -- our pinned estimate of
-the reference stack's key-generation throughput at the same operating point
-(the repo publishes no number, BASELINE.md: per decode step the reference
-pays a GPU forward over 300 rows plus a host round-trip through
-Python->SWIG->sdsl per beam; ~300-500ms/step x 9 steps / batch 20).
+``vs_baseline`` compares against 2.33 queries/sec -- the MEASURED upper
+bound on the reference stack at the same operating point: running the
+genuine reference decode loop with an instant model leaves 0.43 s/query of
+host-side machinery (per-beam Python->index round-trips, mask building, the
+memory scorer) that is serial with any GPU forward, so the reference cannot
+exceed 1/0.43 q/s on any accelerator (scripts/bench_reference_anchor.py;
+BASELINE.md rows "measured, round 3").  ``vs_baseline_generous`` divides by
+4.52 q/s instead (idealized-sdsl + 75-thread adjustments).
 
 Resilience: the axon tunnel occasionally drops a remote-compile response
 mid-read (round-1 failure, BENCH_r01.json). Every device call is retried,
@@ -172,7 +175,10 @@ def main():
     mfu = round(flops / per_batch / peak, 4) if peak else None
 
     n_keys = sum(len(h) for h in out)
-    baseline_qps = 2.0  # BASELINE.md: pinned estimate of the reference stack
+    # BASELINE.md: measured machinery-only upper bound on the reference
+    # stack (scripts/bench_reference_anchor.py); 4.52 = generous variant
+    baseline_qps = 2.33
+    baseline_generous_qps = 4.52
 
     # ---- BASELINE config 5: serving shape, beam 32 x batch 64 ------------
     # Secondary measurement; failures must not cost the primary metric.
@@ -255,6 +261,8 @@ def main():
         "value": round(qps, 3),
         "unit": "queries/sec",
         "vs_baseline": round(qps / baseline_qps, 2),
+        "vs_baseline_generous": round(qps / baseline_generous_qps, 2),
+        "baseline_note": "measured reference machinery bound, see BASELINE.md",
         "mfu": mfu,
         "model_tflops_per_query": round(flops / batch / 1e12, 3),
         "timed_iters": len(times),

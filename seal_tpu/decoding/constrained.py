@@ -276,7 +276,6 @@ def _candidates_general(
     win_lp = jnp.take_along_axis(lp, win_tok.astype(jnp.int32), axis=-1)
     # explicit EOS slot (PAD is in no corpus; EOS handled by branches)
     eos_tok = jnp.full((B, K, 1), cfg.eos_token_id, jnp.int32)
-    eos_cnt = ops.validate(eos_tok, lo, hi)
     eos_lp = lp[..., cfg.eos_token_id][..., None]
     pad_tok = jnp.full((B, K, 1), cfg.pad_token_id, jnp.int32)
     pad_lp = lp[..., cfg.pad_token_id][..., None]
@@ -285,13 +284,16 @@ def _candidates_general(
         # round-1 mode: one approximate proposal round.  approx_max_k rides
         # the TPU's hardware top-k path; a missed candidate only shrinks the
         # proposal set, never produces an invalid key.
+        eos_cnt = ops.validate(eos_tok, lo, hi)
         top_lp, top_tok = lax.approx_max_k(lp, cfg.top_m, recall_target=0.95)
         top_tok = top_tok.astype(jnp.int32)
         top_counts = ops.validate(top_tok, lo, hi)
         top_valid = top_counts > 0
     else:
-        top_tok, top_lp, top_valid = _exact_proposals(
-            ops, cfg, lp, lo, hi, prev_count, finished, pad_lp
+        # the EOS column rides the hoisted first proposal round's rank call
+        # (one serialized binary-search chain per step instead of two)
+        top_tok, top_lp, top_valid, eos_cnt = _exact_proposals(
+            ops, cfg, lp, lo, hi, prev_count, finished, pad_lp, eos_tok
         )
 
     tokens = jnp.concatenate([top_tok, win_tok, eos_tok, pad_tok], -1)
@@ -305,8 +307,46 @@ def _candidates_general(
     return _apply_branches(cfg, tokens, fm_valid, cand_lp, prev_count, finished)
 
 
-def _exact_proposals(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, pad_lp):
+def _exact_topk(x, k: int, blk: int = 64):
+    """``lax.top_k(x, k)`` with identical (value desc, index asc) tie
+    semantics via exact block-max pre-selection: every block containing a
+    true top-k element has block-max >= the k-th value, so the k best
+    blocks by (max desc, block asc) -- lax.top_k's own tie order -- cover
+    the exact top-k set, and gathering the chosen blocks in ascending
+    index order preserves the global tie-break.  ``x`` must be NaN-free.
+
+    Measured on v5e (round 3): the take_along_axis block gather costs
+    MORE than the TopK custom call it avoids (constrained decode 317 ->
+    404 ms/batch), so the decode paths keep plain lax.top_k; this stays
+    as a tested primitive for gather-friendlier future layouts.
+    """
+    V = x.shape[-1]
+    nb = -(-V // blk)
+    if k * blk * 2 >= V or x.ndim != 2:
+        return lax.top_k(x, k)
+    pad = nb * blk - V
+    xp = jnp.pad(x, ((0, 0), (0, pad)), constant_values=-np.inf) if pad else x
+    bm = jnp.max(xp.reshape(-1, nb, blk), axis=-1)
+    _, bidx = lax.top_k(bm, k)
+    bidx = jnp.sort(bidx, axis=-1)
+    cols = (bidx[:, :, None] * blk + jnp.arange(blk, dtype=bidx.dtype)).reshape(
+        x.shape[0], k * blk
+    )
+    vals = jnp.take_along_axis(xp, cols, axis=-1)
+    v, i = lax.top_k(vals, k)
+    return v, jnp.take_along_axis(cols, i, axis=-1)
+
+
+def _exact_proposals(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, pad_lp, eos_tok):
     """Per beam, the ``n_buf`` best *allowed* tokens by LM log-prob -- exact.
+
+    Round 0 is HOISTED out of the while loop: it runs unconditionally (in
+    steady state some beam always needs it), skips the consumed-prefix
+    masking (nothing is consumed yet), and validates the explicit EOS
+    column in the same rank call as the proposals -- every rank call is a
+    serialized chain of ``search_iters`` HBM gathers, so one fused chain
+    per step replaces two (profiled round 3).  Returns
+    (buf_tok, buf_lp, buf_valid, eos_cnt).
 
     Each round does two sweeps in parallel: an exact top-``chunk`` slice of
     the not-yet-examined LM distribution (validated with rank queries) and a
@@ -361,44 +401,7 @@ def _exact_proposals(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, p
 
         return lax.cond(it >= 1, pruned, lambda _: lp, bcounts)
 
-    buf_tok = jnp.full((B, K, n_buf), 0, jnp.int32)
-    buf_lp = jnp.full((B, K, n_buf), NEG_INF, jnp.float32)
-    buf_valid = jnp.zeros((B, K, n_buf), bool)
-    dead0 = jnp.zeros((B, K), bool)  # proposal space exhausted
-    # Consumed-prefix threshold: every round consumes a further prefix of the
-    # per-beam (lp desc, token asc) order -- lax.top_k's exact tie-break --
-    # so "already examined" is one (lp, token) pair per beam.  Masking by
-    # comparison against it replaces the round-1 design's scatter of consumed
-    # slots into a carried [B, K, V] tensor: no scatter op (slow on TPU) and
-    # ~400 MB less loop-carried HBM traffic at the beam-32/batch-64 config.
-    th_lp0 = jnp.full((B, K), jnp.inf, jnp.float32)
-    th_ix0 = jnp.full((B, K), -1, jnp.int32)
-    covered0 = ops.interval_covered(lo, hi, 0)
-    bc0 = jnp.zeros((B, K, ops.n_buckets()), jnp.int32)
-
-    def cond(state):
-        th_lp, th_ix, buf_tok, buf_lp, buf_valid, dead, covered, bcounts, it = state
-        n_valid = buf_valid.sum(-1)
-        need = ~exempt & ~dead & ~covered & (n_valid < n_buf)
-        return jnp.any(need) & (it * chunk < V)
-
-    def body(state):
-        th_lp, th_ix, buf_tok, buf_lp, buf_valid, dead, covered, bcounts, it = state
-        bcounts = lax.cond(
-            it == 1, lambda _: ops.bucket_counts(lo, hi), lambda _: bcounts, None
-        )
-        base = proposal_lp(it, bcounts)
-        consumed = (base > th_lp[..., None]) | (
-            (base == th_lp[..., None]) & (v_idx <= th_ix[..., None])
-        )
-        work = jnp.where(consumed, NEG_INF, base)
-        top_lp, top_tok = lax.top_k(work.reshape(B * K, V), chunk)
-        top_tok = top_tok.reshape(B, K, chunk).astype(jnp.int32)
-        top_lp = top_lp.reshape(B, K, chunk)
-        counts = ops.validate(top_tok, lo, hi)
-        # exhausted slots carry NEG_INF; exclude them (and true -inf logits)
-        valid = (counts > 0) & (top_lp > NEG_INF / 2)
-
+    def merge_round(buf_tok, buf_lp, buf_valid, top_tok, top_lp, valid, it):
         # Interval slab: round ``it`` also enumerates the interval's BWT rows
         # [lo + it*chunk, lo + (it+1)*chunk) directly (every symbol there IS
         # an allowed continuation -- no validation needed).  A beam whose
@@ -436,9 +439,62 @@ def _exact_proposals(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, p
         # retention by (lp desc[, token asc under exact_ties]) -- invalid
         # slots carry unique ids >= V and NEG_INF scores: they sort last
         keep = _top_idx(cfg, rank_score, uniq, n_buf)
-        buf_tok = jnp.take_along_axis(all_tok, keep, -1)
-        buf_lp = jnp.take_along_axis(all_lp, keep, -1)
-        buf_valid = jnp.take_along_axis(all_valid & fresh, keep, -1)
+        return (
+            jnp.take_along_axis(all_tok, keep, -1),
+            jnp.take_along_axis(all_lp, keep, -1),
+            jnp.take_along_axis(all_valid & fresh, keep, -1),
+        )
+
+    # ---- hoisted round 0: raw distribution, EOS column piggybacked -------
+    buf_tok = jnp.full((B, K, n_buf), 0, jnp.int32)
+    buf_lp = jnp.full((B, K, n_buf), NEG_INF, jnp.float32)
+    buf_valid = jnp.zeros((B, K, n_buf), bool)
+    top_lp0, top_tok0 = lax.top_k(lp.reshape(B * K, V), chunk)
+    top_tok0 = top_tok0.reshape(B, K, chunk).astype(jnp.int32)
+    top_lp0 = top_lp0.reshape(B, K, chunk)
+    counts0 = ops.validate(jnp.concatenate([top_tok0, eos_tok], -1), lo, hi)
+    eos_cnt = counts0[..., chunk:]
+    valid0 = (counts0[..., :chunk] > 0) & (top_lp0 > NEG_INF / 2)
+    buf_tok, buf_lp, buf_valid = merge_round(
+        buf_tok, buf_lp, buf_valid, top_tok0, top_lp0, valid0, 0
+    )
+    # Consumed-prefix threshold: every round consumes a further prefix of the
+    # per-beam (lp desc, token asc) order -- lax.top_k's exact tie-break --
+    # so "already examined" is one (lp, token) pair per beam.  Masking by
+    # comparison against it replaces the round-1 design's scatter of consumed
+    # slots into a carried [B, K, V] tensor: no scatter op (slow on TPU) and
+    # ~400 MB less loop-carried HBM traffic at the beam-32/batch-64 config.
+    th_lp0 = top_lp0[..., -1]
+    th_ix0 = top_tok0[..., -1]
+    dead0 = top_lp0[..., 0] <= NEG_INF / 2  # proposal space exhausted
+    covered0 = ops.interval_covered(lo, hi, chunk)
+    bc0 = jnp.zeros((B, K, ops.n_buckets()), jnp.int32)
+
+    def cond(state):
+        th_lp, th_ix, buf_tok, buf_lp, buf_valid, dead, covered, bcounts, it = state
+        n_valid = buf_valid.sum(-1)
+        need = ~exempt & ~dead & ~covered & (n_valid < n_buf)
+        return jnp.any(need) & (it * chunk < V)
+
+    def body(state):
+        th_lp, th_ix, buf_tok, buf_lp, buf_valid, dead, covered, bcounts, it = state
+        bcounts = lax.cond(
+            it == 1, lambda _: ops.bucket_counts(lo, hi), lambda _: bcounts, None
+        )
+        base = proposal_lp(it, bcounts)
+        consumed = (base > th_lp[..., None]) | (
+            (base == th_lp[..., None]) & (v_idx <= th_ix[..., None])
+        )
+        work = jnp.where(consumed, NEG_INF, base)
+        top_lp, top_tok = lax.top_k(work.reshape(B * K, V), chunk)
+        top_tok = top_tok.reshape(B, K, chunk).astype(jnp.int32)
+        top_lp = top_lp.reshape(B, K, chunk)
+        counts = ops.validate(top_tok, lo, hi)
+        # exhausted slots carry NEG_INF; exclude them (and true -inf logits)
+        valid = (counts > 0) & (top_lp > NEG_INF / 2)
+        buf_tok, buf_lp, buf_valid = merge_round(
+            buf_tok, buf_lp, buf_valid, top_tok, top_lp, valid, it
+        )
         th_lp = top_lp[..., -1]
         th_ix = top_tok[..., -1]
         # nothing proposable remains once the chunk's best slot is exhausted
@@ -448,7 +504,7 @@ def _exact_proposals(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, p
 
     state = (
         th_lp0, th_ix0, buf_tok, buf_lp, buf_valid, dead0, covered0, bc0,
-        jnp.int32(0),
+        jnp.int32(1),
     )
     _, _, buf_tok, buf_lp, buf_valid, _, _, _, _ = lax.while_loop(cond, body, state)
 
@@ -456,7 +512,7 @@ def _exact_proposals(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, p
     # what the dense mode scores for the finished->PAD branch
     buf_tok = jnp.where(buf_valid, buf_tok, cfg.pad_token_id)
     buf_lp = jnp.where(buf_valid, buf_lp, pad_lp)
-    return buf_tok, buf_lp, buf_valid
+    return buf_tok, buf_lp, buf_valid, eos_cnt
 
 
 def _apply_branches(cfg: DecodeConfig, tokens, fm_valid, cand_lp, prev_count, finished):

@@ -67,6 +67,53 @@ def build_bucket_occ(
     return occ, bucket_size
 
 
+MAX_HEAD_SYMBOLS = 512  # directory rows cap (memory bound for adversarial corpora)
+
+
+def build_head_directory(
+    psi: np.ndarray,
+    C: np.ndarray,
+    n_rows: int,
+    dir_shift: int | None = None,
+) -> tuple[np.ndarray | None, np.ndarray | None, int, int]:
+    """Position-blocked Occ directory for frequent ("head") symbols.
+
+    Returns (head_id, head_occ, dir_shift, search_iters).  ``dir_shift``
+    auto-scales with the corpus (2^11 blocks at <=8M rows, growing so the
+    directory stays ~4096 position blocks); symbols whose psi block exceeds
+    the block size get a directory row, all others keep their (already
+    shallow) full-block search.  ``search_iters`` is the resulting uniform
+    binary-search depth.  Memory: H x (N >> dir_shift) x 4 bytes -- ~0.1%
+    of the index for Zipf corpora, hard-capped by MAX_HEAD_SYMBOLS.
+    """
+    counts = np.diff(C.astype(np.int64))
+    max_block = int(counts.max()) if counts.size else 1
+    if dir_shift is None:
+        dir_shift = max(11, math.ceil(math.log2(max(n_rows, 2))) - 12)
+    S = 1 << dir_shift
+    base_iters = max(1, math.ceil(math.log2(max_block + 1)))
+    head = np.nonzero(counts > S)[0]
+    if head.size == 0 or base_iters <= dir_shift + 1:
+        return None, None, 0, base_iters
+    if head.size > MAX_HEAD_SYMBOLS:
+        order = np.argsort(counts[head])[::-1]
+        head = np.sort(head[order[:MAX_HEAD_SYMBOLS]])
+    head_id = np.full(counts.size, -1, np.int32)
+    head_id[head] = np.arange(head.size, dtype=np.int32)
+    nb = (n_rows >> dir_shift) + 2
+    bounds = (np.arange(nb, dtype=np.int64) << dir_shift)
+    head_occ = np.empty((head.size, nb), np.int32)
+    for h, c in enumerate(head):
+        block = psi[C[c] : C[c + 1]]
+        head_occ[h] = np.searchsorted(block, bounds, side="left").astype(np.int32)
+    covered = np.zeros(counts.size, bool)
+    covered[head] = True
+    tail_max = int(counts[~covered].max()) if (~covered).any() else 1
+    depth = max(min(S, max_block), tail_max)
+    iters = max(1, math.ceil(math.log2(depth + 1)))
+    return head_id, head_occ, dir_shift, iters
+
+
 @struct.dataclass
 class DeviceFMIndex:
     text: Any  # int32/uint16 [N]   shifted symbols, sentinel (0) last
@@ -79,15 +126,25 @@ class DeviceFMIndex:
     beginnings: Any  # int32 [n_docs+1]  doc start offsets (token space)
     corpus_counts: Any  # int32 [vocab]  step-1 continuation counts by token id
     bucket_occ: Any  # int32 [n_blocks+1, n_buckets]  blocked bucket-rank table
+    # Head-symbol rank directory: the rank binary search is a SERIALIZED
+    # chain of ``search_iters`` HBM gathers, and its depth is set by the
+    # most frequent symbol's psi-block size (Zipf head ~2^18 at 1.2M
+    # tokens).  For every symbol whose block exceeds 2^dir_shift rows,
+    # ``head_occ[head_id[c], j] = Occ(c, j << dir_shift)`` pins the search
+    # to one position-block in O(1), capping the remaining depth at
+    # ``dir_shift`` iterations for head and tail symbols alike.
+    head_id: Any = None  # int32 [sigma]: slot into head_occ, or -1
+    head_occ: Any = None  # int32 [H, (N >> dir_shift) + 2]
 
-    n_rows: int = struct.field(pytree_node=False)  # N = tokens + 1
-    sigma: int = struct.field(pytree_node=False)  # shifted alphabet size
-    vocab: int = struct.field(pytree_node=False)  # model vocab size
-    n_docs: int = struct.field(pytree_node=False)
-    search_iters: int = struct.field(pytree_node=False)  # ceil(log2(N+1))
+    n_rows: int = struct.field(pytree_node=False, default=0)  # N = tokens + 1
+    sigma: int = struct.field(pytree_node=False, default=0)  # shifted alphabet
+    vocab: int = struct.field(pytree_node=False, default=0)  # model vocab size
+    n_docs: int = struct.field(pytree_node=False, default=0)
+    search_iters: int = struct.field(pytree_node=False, default=31)
     bucket_rows: int = struct.field(pytree_node=False, default=BUCKET_ROWS)
     bucket_size: int = struct.field(pytree_node=False, default=1)
     n_buckets: int = struct.field(pytree_node=False, default=N_BUCKETS)
+    dir_shift: int = struct.field(pytree_node=False, default=0)  # 0 = off
 
     @property
     def n_tokens(self) -> int:
@@ -111,6 +168,7 @@ class DeviceFMIndex:
         compact: bool = True,
         keep_sa: bool = False,
         keep_text: bool = False,
+        dir_shift: int | None = None,
     ) -> "DeviceFMIndex":
         """Ship a host-built index to device arrays.
 
@@ -138,6 +196,9 @@ class DeviceFMIndex:
         counts[occ[keep]] = np.asarray(index.occurring_counts, dtype=np.int64)[keep]
         text_dtype = jnp.uint16 if (compact and sigma < 2**16) else jnp.int32
         occ, bucket_size = build_bucket_occ(index.bwt, int(vocab) + SHIFT)
+        head_id, head_occ, dshift, iters = build_head_directory(
+            np.asarray(index.psi), np.asarray(index.C), n_rows, dir_shift
+        )
         return cls(
             text=jnp.asarray(index.text, dtype=text_dtype) if keep_text else None,
             sa=jnp.asarray(index.sa, dtype=jnp.int32) if keep_sa else None,
@@ -152,13 +213,15 @@ class DeviceFMIndex:
             vocab=int(vocab),
             n_docs=index.n_docs,
             # every rank query searches within ONE symbol's psi block
-            # ([C[c], C[c+1]]), so the largest block -- not the corpus --
-            # bounds the binary-search depth (each iteration is a serialized
-            # HBM gather; Zipf corpora save ~3-4 of ~21 rounds)
-            search_iters=max(
-                1, math.ceil(math.log2(int(np.max(np.diff(index.C))) + 1))
-            ),
+            # ([C[c], C[c+1]]); the head directory pins frequent symbols to
+            # one position block, so the depth is the max of the block size
+            # and the largest tail symbol (each iteration is a serialized
+            # HBM gather -- ~19 rounds undirected at 1.2M tokens, ~11 with)
+            search_iters=iters,
             bucket_size=bucket_size,
+            head_id=jnp.asarray(head_id) if head_id is not None else None,
+            head_occ=jnp.asarray(head_occ) if head_occ is not None else None,
+            dir_shift=dshift,
         )
 
     def full_range(self, shape=()) -> tuple[jax.Array, jax.Array]:

@@ -57,6 +57,33 @@ def _searchsorted_psi(index: DeviceFMIndex, lo, hi, pos):
     return lo
 
 
+def _directed_bounds(index: DeviceFMIndex, c, blo, bhi, pos):
+    """Tighten per-symbol search bounds via the head-symbol Occ directory.
+
+    For a head symbol, ``head_occ[h, pos >> dir_shift]`` pins the answer to
+    one position block of its psi range in O(1) (two small gathers),
+    capping the binary-search depth at ``dir_shift`` iterations instead of
+    log2(largest block) -- the chain of serialized HBM gathers this
+    replaces is the dominant constraint-op cost (profiled round 3).
+    """
+    if index.head_occ is None:
+        return (
+            jnp.broadcast_to(blo, pos.shape),
+            jnp.broadcast_to(bhi, pos.shape),
+        )
+    h = index.head_id[c]
+    hb = jnp.broadcast_to(h, pos.shape)
+    safe_h = jnp.maximum(hb, 0)
+    blk = jnp.clip(pos, 0, index.n_rows) >> index.dir_shift
+    o_lo = index.head_occ[safe_h, blk]
+    o_hi = index.head_occ[safe_h, blk + 1]
+    base = jnp.broadcast_to(blo, pos.shape)
+    is_head = hb >= 0
+    dlo = jnp.where(is_head, base + o_lo, jnp.broadcast_to(blo, pos.shape))
+    dhi = jnp.where(is_head, base + o_hi, jnp.broadcast_to(bhi, pos.shape))
+    return dlo, dhi
+
+
 def rank(index: DeviceFMIndex, symbol, pos):
     """Occ(symbol, pos): #occurrences of *shifted* symbol in bwt[0:pos).
 
@@ -69,7 +96,9 @@ def rank(index: DeviceFMIndex, symbol, pos):
     c = jnp.where(valid, symbol, 0)
     lo = index.C[c]
     hi = index.C[c + 1]
-    row = _searchsorted_psi(index, lo, hi, jnp.broadcast_to(pos, lo.shape))
+    pos_b = jnp.broadcast_to(pos, lo.shape)
+    dlo, dhi = _directed_bounds(index, c, lo, hi, pos_b)
+    row = _searchsorted_psi(index, dlo, dhi, pos_b)
     return jnp.where(valid, row - index.C[c], 0)
 
 
@@ -93,8 +122,7 @@ def backward_step(index: DeviceFMIndex, token, lo, hi):
     bhi = index.C[safe_c + 1]
     pos = jnp.stack([jnp.broadcast_to(lo, safe_c.shape),
                      jnp.broadcast_to(hi, safe_c.shape)], 0)
-    bounds_lo = jnp.stack([blo, blo], 0)
-    bounds_hi = jnp.stack([bhi, bhi], 0)
+    bounds_lo, bounds_hi = _directed_bounds(index, safe_c, blo, bhi, pos)
     row = _searchsorted_psi(index, bounds_lo, bounds_hi, pos)
     new_lo = base + (row[0] - blo)
     new_hi = base + (row[1] - blo)

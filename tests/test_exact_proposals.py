@@ -143,3 +143,27 @@ def test_oov_corpus_symbols_never_proposed(setup):
             assert all(t < 96 for t in toks), toks
             assert np.isfinite(s), (s, toks)
         assert _hyps_key(ql) == _hyps_key(qd)
+
+
+def test_exact_topk_matches_lax_topk():
+    """The block-max two-level top-k must equal lax.top_k bit-for-bit,
+    including (value desc, index asc) tie order, at vocab scale."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from seal_tpu.decoding.constrained import _exact_topk
+
+    rng = np.random.default_rng(0)
+    V = 50265
+    # heavy ties: quantized values + -inf rows + plateaus spanning blocks
+    x = np.round(rng.normal(0, 2, size=(24, V)), 1).astype(np.float32)
+    x[3] = -np.inf
+    x[5, :4000] = 7.5  # plateau across many blocks
+    x[7, 100:200] = x[7, 300:400] = 9.25
+    xj = jnp.asarray(x)
+    for k in (30, 64, 256):
+        v1, i1 = lax.top_k(xj, k)
+        v2, i2 = _exact_topk(xj, k)
+        assert i2.shape == (24, k)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2)), k
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2)), k

@@ -123,3 +123,41 @@ def test_dense_counts_batched_shape(setup):
     np.testing.assert_array_equal(
         np.asarray(counts[0, 0]), np.asarray(dev.corpus_counts)
     )
+
+
+def test_head_directory_rank_and_ranges():
+    """The head-symbol Occ directory (frequent symbols pinned to one
+    position block) must leave every rank/backward-search result
+    bit-identical to the undirected search -- fuzzed on a skewed corpus
+    with a tiny dir block so head rows genuinely engage."""
+    rng = np.random.default_rng(3)
+    # Zipf-ish: symbol 4 dominates, several mid symbols exceed 64 counts
+    toks = (rng.zipf(1.2, size=6000) % 28 + 4).astype(np.int64)
+    docs = np.array_split(toks, 120)
+    host = FMIndex()
+    host.initialize([d.tolist() for d in docs])
+    dev = DeviceFMIndex.from_host(host, vocab=40, dir_shift=6)
+    assert dev.head_occ is not None and dev.dir_shift == 6
+    assert dev.search_iters <= 7  # capped by the 64-row directory block
+    undirected = DeviceFMIndex.from_host(host, vocab=40, dir_shift=31)
+    assert undirected.head_occ is None  # blocks never exceed 2^31
+
+    n = host.size()
+    symbols = rng.integers(0, host.C.size - 1, size=256).astype(np.int32)
+    positions = rng.integers(0, n + 1, size=256).astype(np.int32)
+    got = jax.jit(lambda s, p: fm_ops.rank(dev, s, p))(symbols, positions)
+    expect = np.array([host.occ(int(s), int(p)) for s, p in zip(symbols, positions)])
+    np.testing.assert_array_equal(np.asarray(got), expect)
+
+    pats = [rng.integers(0, 34, size=rng.integers(1, 5)).tolist() for _ in range(80)]
+    L = max(len(p) for p in pats)
+    tk = np.zeros((len(pats), L), dtype=np.int32)
+    lens = np.array([len(p) for p in pats], dtype=np.int32)
+    for i, p in enumerate(pats):
+        tk[i, : len(p)] = p
+    lo, hi = jax.jit(lambda t, l: fm_ops.range_for_sequences(dev, t, l))(tk, lens)
+    lo0, hi0 = jax.jit(lambda t, l: fm_ops.range_for_sequences(undirected, t, l))(tk, lens)
+    np.testing.assert_array_equal(np.asarray(lo), np.asarray(lo0))
+    np.testing.assert_array_equal(np.asarray(hi), np.asarray(hi0))
+    for i, p in enumerate(pats):
+        assert (int(lo[i]), int(hi[i])) == host.get_range(p), p
