@@ -87,6 +87,11 @@ def main(argv=None):
                         help="keep tokenized docs in RAM instead of the "
                         "packed cache-file flow (reference default is the "
                         "cache file)")
+    parser.add_argument("--shards", type=int, default=0,
+                        help="build N per-shard indexes + a manifest instead "
+                        "of one monolith (round-robin docs; suffix sorts run "
+                        "one fork per shard when --jobs > 1); load with "
+                        "SEALSearcher.load(..., index_shards=N)")
     args = parser.parse_args(argv)
     print(args)
 
@@ -110,14 +115,80 @@ def main(argv=None):
         tokenizer = load_tokenizer(args.tokenizer or args.hf_model)
 
     eos = tokenizer.eos_token_id
-    sequences = (tokenizer.encode_plain(" " + t.strip()) + [eos] for t in texts)
 
+    if args.shards > 1:
+        return _build_sharded(args, texts, labels, tokenizer, eos)
+
+    sequences = (tokenizer.encode_plain(" " + t.strip()) + [eos] for t in texts)
     index = FMIndex()
     # cache-file flow (reference index.py:57-65): tokenized docs stream to a
     # packed temp file, so peak RAM is the text array + suffix-sort workspace
     index.initialize(sequences, in_memory=args.in_memory, labels=labels)
     index.save(args.output)
     print(f"indexed {index.n_docs} docs, {len(index)} tokens -> {args.output}.fmi.npz")
+    return 0
+
+
+# fork workers read the parent's state copy-on-write (same technique as the
+# searcher's aggregation pool, reference retrieval.py:762-775)
+_SHARD_STATE = {}
+
+
+def _build_one_shard(s: int):
+    st = _SHARD_STATE
+    from seal_tpu.index import FMIndex
+    from seal_tpu.parallel.sharded_index import shard_path
+
+    idx = FMIndex()
+    docs = st["assignments"][s]
+    idx.initialize(
+        (st["tokenize"](st["texts"][i]) for i in docs),
+        in_memory=st["in_memory"],
+        labels=[st["labels"][i] for i in docs],
+    )
+    idx.save(shard_path(st["output"], s))
+    return idx.n_docs, len(idx)
+
+
+def _build_sharded(args, texts, labels, tokenizer, eos):
+    """Per-shard builds + manifest: corpora whose monolithic suffix sort /
+    host arrays would not fit build shard-by-shard (in parallel forks with
+    --jobs) and load without ever assembling the monolith."""
+    import time
+
+    from seal_tpu.parallel.sharded_index import (
+        round_robin_assignments,
+        save_shard_manifest,
+    )
+
+    _SHARD_STATE.update(
+        texts=texts,
+        labels=labels,
+        assignments=round_robin_assignments(len(texts), args.shards),
+        tokenize=lambda t: tokenizer.encode_plain(" " + t.strip()) + [eos],
+        in_memory=args.in_memory,
+        output=args.output,
+    )
+    t0 = time.time()
+    try:
+        if args.jobs > 1:
+            import multiprocessing
+
+            ctx = multiprocessing.get_context("fork")
+            with ctx.Pool(min(args.jobs, args.shards)) as pool:
+                stats = pool.map(_build_one_shard, range(args.shards))
+        else:
+            stats = [_build_one_shard(s) for s in range(args.shards)]
+    finally:
+        _SHARD_STATE.clear()
+    save_shard_manifest(args.output, args.shards, len(texts))
+    total_docs = sum(d for d, _ in stats)
+    total_tokens = sum(t for _, t in stats)
+    print(
+        f"indexed {total_docs} docs, {total_tokens} tokens into "
+        f"{args.shards} shards in {time.time() - t0:.1f}s -> "
+        f"{args.output}.shard*/.manifest.json"
+    )
     return 0
 
 

@@ -277,10 +277,56 @@ class SEALSearcher:
         ``checkpoint`` may be a fairseq ``.pt`` (default, reference parity), an
         HF model dir, or ``None``/``"random"`` for randomly initialized weights
         (benchmarks without network access).
+
+        When ``fm_index_path`` has a shard manifest (``build_fm_index
+        --shards N``), the per-shard indexes load directly -- the monolithic
+        host index is never materialized (no monolithic suffix sort, no
+        25-bytes/token host arrays).
         """
+        import os
+
         import jax
 
+        if os.path.exists(fm_index_path + ".manifest.json"):
+            return cls._load_sharded_manifest(
+                fm_index_path,
+                checkpoint,
+                scorer_checkpoint=scorer_checkpoint,
+                title_checkpoint=title_checkpoint,
+                code_checkpoint=code_checkpoint,
+                tokenizer_path=tokenizer_path,
+                model_cfg=model_cfg,
+                **params,
+            )
         fm_index = cls.load_fm_index(fm_index_path)
+        tokenizer, model_cfg, main, extra = cls._load_models(
+            checkpoint, scorer_checkpoint, title_checkpoint, code_checkpoint,
+            tokenizer_path, model_cfg, params,
+        )
+        n_shards = int(params.pop("index_shards", 0) or 0)
+        if n_shards > 1:
+            # re-split the loaded corpus into per-device shards (config 5):
+            # one-time cost at load, bit-identical decode vs monolithic.
+            # numpy slice views, not .tolist() -- per-doc Python int lists
+            # would cost ~7x the corpus bytes in transient RAM
+            flat, off = fm_index.get_docs_flat(list(range(fm_index.n_docs)))
+            docs = [
+                flat[off[i] : off[i + 1]] for i in range(fm_index.n_docs)
+            ]
+            labels = fm_index.labels or [str(i) for i in range(fm_index.n_docs)]
+            return cls.build_sharded(
+                docs, labels, tokenizer, model_cfg, main,
+                n_shards=n_shards, **extra, **params,
+            )
+        return cls(fm_index, tokenizer, model_cfg, main, **extra, **params)
+
+    @classmethod
+    def _load_models(
+        cls, checkpoint, scorer_checkpoint, title_checkpoint, code_checkpoint,
+        tokenizer_path, model_cfg, params,
+    ):
+        import jax
+
         tokenizer = load_tokenizer(tokenizer_path or params.get("backbone", "facebook/bart-large"))
         if model_cfg is None:
             backbone = params.get("backbone", "facebook/bart-large")
@@ -330,22 +376,57 @@ class SEALSearcher:
             title_params=load_params(title_checkpoint) if title_checkpoint else None,
             code_params=load_params(code_checkpoint) if code_checkpoint else None,
         )
-        n_shards = int(params.pop("index_shards", 0) or 0)
-        if n_shards > 1:
-            # re-split the loaded corpus into per-device shards (config 5):
-            # one-time cost at load, bit-identical decode vs monolithic.
-            # numpy slice views, not .tolist() -- per-doc Python int lists
-            # would cost ~7x the corpus bytes in transient RAM
-            flat, off = fm_index.get_docs_flat(list(range(fm_index.n_docs)))
-            docs = [
-                flat[off[i] : off[i + 1]] for i in range(fm_index.n_docs)
-            ]
-            labels = fm_index.labels or [str(i) for i in range(fm_index.n_docs)]
-            return cls.build_sharded(
-                docs, labels, tokenizer, model_cfg, main,
-                n_shards=n_shards, **extra, **params,
+        return tokenizer, model_cfg, main, extra
+
+    @classmethod
+    def _load_sharded_manifest(
+        cls,
+        fm_index_path: str,
+        checkpoint=None,
+        scorer_checkpoint=None,
+        title_checkpoint=None,
+        code_checkpoint=None,
+        tokenizer_path=None,
+        model_cfg=None,
+        mesh=None,
+        **params,
+    ) -> "SEALSearcher":
+        """Assemble sharded serving straight from per-shard index files."""
+        from seal_tpu.parallel import mesh as mesh_lib
+        from seal_tpu.parallel.sharded_index import (
+            ShardedFMIndex,
+            UnionHostIndex,
+            load_sharded_hosts,
+        )
+
+        hosts, assignments, labels = load_sharded_hosts(fm_index_path)
+        n_shards = len(hosts)
+        want = int(params.pop("index_shards", 0) or 0)
+        if want and want != n_shards:
+            raise ValueError(
+                f"index at {fm_index_path} was built with {n_shards} shards; "
+                f"index_shards={want} cannot re-split a shard-wise build"
             )
-        return cls(fm_index, tokenizer, model_cfg, main, **extra, **params)
+        logger.warning(
+            "sharded FM-index from %s: %d shards, %d docs",
+            fm_index_path, n_shards, sum(h.n_docs for h in hosts),
+        )
+        tokenizer, model_cfg, main, extra = cls._load_models(
+            checkpoint, scorer_checkpoint, title_checkpoint, code_checkpoint,
+            tokenizer_path, model_cfg, params,
+        )
+        if mesh is None:
+            import jax
+
+            mesh = mesh_lib.make_mesh(
+                n_data=n_shards, n_model=1, devices=jax.devices()[:n_shards]
+            )
+        si = ShardedFMIndex.from_hosts(hosts, vocab=model_cfg.vocab_size).place(mesh)
+        union = UnionHostIndex(hosts, assignments, labels=labels)
+        return cls(
+            union, tokenizer, model_cfg, main,
+            sharded_index=si, mesh=mesh, **extra, **params,
+        )
 
     # ---------------------------------------------------------- key generation
 

@@ -105,3 +105,64 @@ def test_sharded_generation_keys_grounded(world):
     assert keys
     for ngram, score in keys:
         assert searcher.fm_index.get_count(list(ngram)) > 0
+
+
+def test_shard_wise_build_and_manifest_load(tmp_path, world):
+    """``build_fm_index --shards N`` writes per-shard indexes + manifest;
+    ``SEALSearcher.load`` assembles sharded serving from them WITHOUT ever
+    building the monolithic index (VERDICT r2 #4)."""
+    import json
+    import os
+
+    from seal_tpu.cli.build_fm_index import main as build_main
+
+    corpus, texts, labels, tok, docs, cfg, params = world
+    tsv = tmp_path / "corpus.tsv"
+    with open(tsv, "w") as f:
+        for (d, title, body) in corpus:
+            f.write(f"{d}\t{title}\t{body}\n")
+
+    out_sharded = str(tmp_path / "idx_sharded")
+    rc = build_main([
+        str(tsv), out_sharded, "--include_title", "--train_word_vocab",
+        "--shards", "4", "--jobs", "2",
+    ])
+    assert rc == 0
+    manifest = json.load(open(out_sharded + ".manifest.json"))
+    assert manifest["n_shards"] == 4 and manifest["n_docs"] == len(corpus)
+    assert os.path.exists(out_sharded + ".shard003.fmi.npz")
+
+    # monolithic build with the SAME trained vocab for comparison
+    out_mono = str(tmp_path / "idx_mono")
+    rc = build_main([
+        str(tsv), out_mono, "--include_title",
+        "--tokenizer", out_sharded + ".word_vocab.json",
+    ])
+    assert rc == 0
+
+    common = dict(
+        tokenizer_path=out_sharded + ".word_vocab.json",
+        backbone="word-vocab-tiny",
+        beam=3, length=3, batch_size=2,
+        decode_body=False, decode_titles=False,
+        add_query_to_keys=True, unigram_scores=False,
+    )
+    sharded = SEALSearcher.load(out_sharded, **common)
+    assert sharded.sharded_index is not None
+    assert sharded.fm_index.n_docs == len(corpus)
+    mono = SEALSearcher.load(out_mono, **common)
+    assert mono.sharded_index is None
+
+    qs = ["eating soup with a fork", "fresh water river ocean"]
+    rs = sharded.batch_search(qs, k=3)
+    rm = mono.batch_search(qs, k=3)
+    assert rs[0][0].docid == rm[0][0].docid == "d0"
+    assert rs[1][0].docid == rm[1][0].docid == "d3"
+    for a, b in zip(rs, rm):
+        assert {d.docid for d in a} == {d.docid for d in b}
+        for d in a:
+            assert d.text() == next(x for x in b if x.docid == d.docid).text()
+
+    # re-splitting a shard-wise build to a different count is refused
+    with pytest.raises(ValueError, match="cannot re-split"):
+        SEALSearcher.load(out_sharded, index_shards=2, **common)
