@@ -1,31 +1,36 @@
-"""Compact device FM-index: a levelwise wavelet tree over the BWT.
+"""Compact device FM-index: a 4-ary wavelet tree over the BWT.
 
 The default ``DeviceFMIndex`` trades memory for speed: Psi (4 B/token) makes
 a rank query one binary search, and the explicit BWT (2 B/token) makes
-window enumeration one gather -- ~7 B/token.  This module is the capacity
+window enumeration one gather -- ~7.6 B/token.  This module is the capacity
 mode: the sdsl-equivalent wavelet-tree representation
 (``csa_wt_int<>``, ``/root/reference/seal/cpp_modules/fm_index.cpp:19``)
-rebuilt TPU-first as **dense bit-plane arrays with blocked rank tables**:
+rebuilt TPU-first.
 
-* ``bits``  -- uint32 [levels, N/32]: level ``l`` holds bit ``L-1-l`` of
-  every BWT symbol, stably grouped by ``l``-bit symbol prefix (the classic
-  pointerless levelwise layout).
-* ``rank128`` -- uint32 [levels, N/128]: cumulative ones every 128 bits;
-  an arbitrary rank1 is one table gather + one 4-word slice + popcounts
-  (``lax.population_count`` rides the VPU).
-* ``node_start`` / ``node_ones`` -- int32 [levels, 2^levels]: start offset
-  and start-rank of every prefix node, so the per-level descent needs no
-  second rank query.
+Round-3 redesign: the original binary tree descended ``log2(sigma)`` (~16)
+levels, each level touching TWO gather streams (rank table + bit words) --
+profiled as gather-throughput-bound at 5.5x the Psi layout's decode cost.
+The 4-ary tree resolves TWO symbol bits per level (8 levels for BART's
+alphabet) and interleaves everything a level query needs into ONE
+contiguous 12-word block:
 
-Total ~``levels/8 * 1.25`` bytes/token (2.7 B at BART's 17-bit alphabet) --
-100M tokens fit in 0.27 GiB of HBM, and a 2.5B-token corpus in ~7 GiB.
-Queries cost ~3x the Psi layout's sequential gathers; use this mode when
-the corpus does not fit, the default otherwise.
+* ``blocks`` -- uint32 [digits, n_blocks * 12]: per 128 rows, words 0..3 =
+  cumulative counts of digit values 0..3 before the block (the rank
+  directory), words 4..11 = the rows' 2-bit codes packed 16 per word.
+  A rank of any digit value is one 12-word contiguous gather + masked
+  ``lax.population_count`` on the VPU.
+* ``node_start`` / ``node_cnt`` -- per-node start offsets and start ranks
+  (4-ary heap packing), so the descent needs no second rank query.
 
-Symbol rank descends ``levels`` bit-planes; symbol access walks the same
-path using the stored bits; interval bucket counts (for the exact proposal
-loop's pruning) come from bisecting the interval to depth 8 -- the wavelet
-tree IS the bucket structure, so no auxiliary table is shipped.
+Memory: 12 words / 128 rows / level = 0.375 B/token/level -> **3.0 B/token**
+at BART's 16-bit alphabet (+0.4 vs the binary layout, ~2.5x less than the
+fast layout) plus ~1 MB of node tables.  Queries descend half the levels of
+the binary design with ~4x less gathered data.
+
+Symbol rank descends ``digits`` levels; symbol access walks the same path
+reading the stored codes; interval bucket counts (for the exact proposal
+loop's pruning) come from bisecting the interval 4 digits deep -- the
+wavelet tree IS the bucket structure, so no auxiliary table is shipped.
 """
 
 from __future__ import annotations
@@ -40,24 +45,35 @@ from flax import struct
 
 from seal_tpu.index.fm_index import FMIndex, SHIFT
 
-BUCKET_DEPTH = 8  # bisection depth for bucket_counts (256 buckets)
+BUCKET_DEPTH = 8  # bucket id width in BITS for bucket_counts (256 buckets)
+BLOCK_ROWS = 128
+WORDS_PER_BLOCK = 12  # 4 count words + 8 code words
+
+
+def heap_base(level: int) -> int:
+    """Start of level ``level`` in the 4-ary node heap: sum of 4^j, j<level."""
+    return ((1 << (2 * level)) - 1) // 3
 
 
 @struct.dataclass
 class WaveletFMIndex:
-    bits: Any  # uint32 [levels, n_words]
-    rank128: Any  # uint32 [levels, n_blocks]  ones in bits[0 : 128*i)
-    node_start: Any  # int32 [2^levels]  level-l node v at offset (1<<l)-1+v
-    node_ones: Any  # int32 [2^levels]   (heap/Eytzinger packing, no padding)
-    C: Any  # int32 [sigma+1]
+    blocks: Any  # uint32 [digits, n_blocks * 12]  interleaved counts+codes
+    node_start: Any  # int32 [heap]  level-l node v at heap_base(l)+v
+    node_cnt: Any  # int32 [heap, 4]  per-digit start ranks of each node
+    C: Any  # int32 [sigma_bound+1]
     beginnings: Any  # int32 [n_docs+1]
     corpus_counts: Any  # int32 [vocab]
 
     n_rows: int = struct.field(pytree_node=False)
-    levels: int = struct.field(pytree_node=False)
+    digits: int = struct.field(pytree_node=False)  # 2-bit digits per symbol
     sigma: int = struct.field(pytree_node=False)  # true corpus alphabet size
     vocab: int = struct.field(pytree_node=False)
     n_docs: int = struct.field(pytree_node=False)
+
+    @property
+    def levels(self) -> int:
+        """Symbol width in bits (2 per descent level)."""
+        return 2 * self.digits
 
     @property
     def n_tokens(self) -> int:
@@ -87,38 +103,46 @@ class WaveletFMIndex:
         if vocab is None:
             vocab = max(sigma - SHIFT, 1)
         sigma_bound = max(int(vocab) + SHIFT, sigma, 2)
-        levels = max(1, math.ceil(math.log2(sigma_bound)))
+        digits = max(1, -(-math.ceil(math.log2(sigma_bound)) // 2))
 
-        n_words = -(-n // 32)
-        n_blocks = -(-n // 128) + 1
-        bits = np.zeros((levels, n_words), np.uint32)
-        rank128 = np.zeros((levels, n_blocks), np.uint32)
-        node_start = np.zeros(1 << levels, np.int64)
-        node_ones = np.zeros(1 << levels, np.int64)
+        n_blocks = (n >> 7) + 1
+        blocks = np.zeros((digits, n_blocks * WORDS_PER_BLOCK), np.uint32)
+        heap = heap_base(digits)
+        node_start = np.zeros(heap, np.int64)
+        node_cnt = np.zeros((heap, 4), np.int64)
 
-        seq = bwt  # level-l sequence: symbols stably grouped by l-bit prefix
-        for lvl in range(levels):
-            b = ((seq >> (levels - 1 - lvl)) & 1).astype(np.uint8)
-            pad = n_words * 32 - n
-            b_pad = np.concatenate([b, np.zeros(pad, np.uint8)]) if pad else b
-            # word w bit k (mask 1<<k) = element 32w+k
-            bits[lvl] = np.packbits(b_pad, bitorder="little").view("<u4")
-            # cumulative ones every 128 bits
-            ones_per_block = np.add.reduceat(
-                b, np.arange(0, n, 128), axis=0
-            ) if n else np.zeros(0, np.int64)
-            rank128[lvl, 1 : 1 + ones_per_block.size] = np.cumsum(ones_per_block)
-            # node tables: prefix-grouped starts + their start ranks
-            prefix = seq >> (levels - lvl)
-            counts = np.bincount(prefix, minlength=1 << lvl)
+        seq = bwt  # level-l sequence: symbols stably grouped by l-digit prefix
+        pad_rows = n_blocks * BLOCK_ROWS - n
+        for lvl in range(digits):
+            d = ((seq >> (2 * (digits - 1 - lvl))) & 3).astype(np.uint8)
+            # code words: 2-bit values little-endian, 16 rows per word
+            dp = np.concatenate([d, np.zeros(pad_rows, np.uint8)])
+            bits_mat = np.empty(dp.size * 2, np.uint8)
+            bits_mat[0::2] = dp & 1
+            bits_mat[1::2] = dp >> 1
+            codes = np.packbits(bits_mat, bitorder="little").view("<u4")
+            codes = codes.reshape(n_blocks, 8)
+            # cumulative per-digit counts at block starts
+            blk_of = np.arange(n) >> 7
+            hist = np.bincount(blk_of * 4 + d, minlength=n_blocks * 4)
+            hist = hist.reshape(n_blocks, 4)
+            cum = np.zeros((n_blocks, 4), np.int64)
+            cum[1:] = np.cumsum(hist, axis=0)[:-1]
+            lvl_blocks = blocks[lvl].reshape(n_blocks, WORDS_PER_BLOCK)
+            lvl_blocks[:, :4] = cum.astype(np.uint32)
+            lvl_blocks[:, 4:] = codes
+            # node tables: prefix-grouped starts + their per-digit start ranks
+            prefix = seq >> (2 * (digits - lvl))
+            counts = np.bincount(prefix, minlength=1 << (2 * lvl))
             starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-            base = (1 << lvl) - 1
+            base = heap_base(lvl)
             node_start[base : base + starts.size] = starts
-            cum_ones = np.concatenate([[0], np.cumsum(b)])
-            node_ones[base : base + starts.size] = cum_ones[starts]
-            # next level: stable regroup by (l+1)-bit prefix
-            if lvl + 1 < levels:
-                order = np.argsort(seq >> (levels - 1 - lvl), kind="stable")
+            for v in range(4):
+                cum_v = np.concatenate([[0], np.cumsum(d == v)])
+                node_cnt[base : base + starts.size, v] = cum_v[starts]
+            # next level: stable regroup by (l+1)-digit prefix
+            if lvl + 1 < digits:
+                order = np.argsort(seq >> (2 * (digits - 1 - lvl)), kind="stable")
                 seq = seq[order]
 
         counts_v = np.zeros(vocab, dtype=np.int32)
@@ -131,15 +155,14 @@ class WaveletFMIndex:
         C[index.C.size :] = index.C[-1]
 
         return cls(
-            bits=jnp.asarray(bits),
-            rank128=jnp.asarray(rank128),
+            blocks=jnp.asarray(blocks),
             node_start=jnp.asarray(node_start, jnp.int32),
-            node_ones=jnp.asarray(node_ones, jnp.int32),
+            node_cnt=jnp.asarray(node_cnt, jnp.int32),
             C=jnp.asarray(C, jnp.int32),
             beginnings=jnp.asarray(index.beginnings, jnp.int32),
             corpus_counts=jnp.asarray(counts_v),
             n_rows=n,
-            levels=levels,
+            digits=digits,
             sigma=sigma,  # validity gate matches the Psi layout exactly
             vocab=int(vocab),
             n_docs=index.n_docs,

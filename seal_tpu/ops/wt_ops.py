@@ -1,11 +1,11 @@
-"""Batched FM-index query ops over the wavelet-tree layout.
+"""Batched FM-index query ops over the 4-ary wavelet-tree layout.
 
 Same op surface as ``seal_tpu.ops.fm_ops`` (the Psi layout), so the fused
-constrained decoder runs unchanged on either index.  Every rank1 is one
-rank-table gather + one 4-word slice gather + ``lax.population_count`` on
-the VPU; a symbol rank/access descends ``levels`` bit-planes sequentially
-(the latency cost of the ~2.6x memory saving -- see
-``seal_tpu/index/wavelet.py``).
+constrained decoder runs unchanged on either index.  A level query is ONE
+contiguous 12-word gather (interleaved rank directory + packed 2-bit codes,
+see ``seal_tpu/index/wavelet.py``) plus ``lax.population_count`` on the
+VPU; a symbol rank/access descends ``digits`` (= symbol_bits/2) levels
+sequentially -- half the binary design's depth with ~4x less gathered data.
 """
 
 from __future__ import annotations
@@ -14,68 +14,102 @@ import jax.numpy as jnp
 from jax import lax
 
 from seal_tpu.index.fm_index import SHIFT
-from seal_tpu.index.wavelet import BUCKET_DEPTH, WaveletFMIndex
+from seal_tpu.index.wavelet import (
+    BUCKET_DEPTH,
+    WORDS_PER_BLOCK,
+    WaveletFMIndex,
+    heap_base,
+)
 from seal_tpu.ops import _generic
 
+_EVEN = jnp.uint32(0x55555555)  # bits 0,2,4,... (the low bit of each code)
 
-def _rank1(index: WaveletFMIndex, level: int, pos):
-    """Ones in bits[level][0:pos).  ``pos`` int32 [...], any batch shape."""
-    pos = jnp.asarray(pos, jnp.int32)
-    blk = pos >> 7
-    base = index.rank128[level, blk].astype(jnp.int32)
-    word0 = blk << 2
-    w = index.bits[level, word0[..., None] + jnp.arange(4, dtype=jnp.int32)]
+
+def _load_block(index: WaveletFMIndex, level: int, pos):
+    """The 12 interleaved words of ``pos``'s block: [..., 12] uint32."""
+    blk = (pos >> 7) * WORDS_PER_BLOCK
+    return index.blocks[level, blk[..., None] + jnp.arange(WORDS_PER_BLOCK)]
+
+
+def _match_words(w, d):
+    """Per code word, bitmask (at even positions) of rows whose digit == d."""
+    codes = w[..., 4:12]
+    low = codes & _EVEN
+    high = (codes >> 1) & _EVEN
+    d = d[..., None]
+    m_low = jnp.where((d & 1) == 1, low, low ^ _EVEN)
+    m_high = jnp.where((d >> 1) == 1, high, high ^ _EVEN)
+    return m_low & m_high
+
+
+def _rank_from_block(w, pos, d):
+    """Count of digit ``d`` in the level sequence before ``pos``, given the
+    block words ``w`` (= _load_block at pos)."""
+    base = jnp.take_along_axis(w, d[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    match = _match_words(w, d)
     within = pos & 127
-    word_idx = within >> 5
-    bit_idx = within & 31
-    lane = jnp.arange(4, dtype=jnp.int32)
-    # popcount of full words before the position's word, plus the partial
-    full_mask = lane < word_idx[..., None]
-    part_mask = lane == word_idx[..., None]
-    partial_bits = w & ((jnp.uint32(1) << bit_idx[..., None].astype(jnp.uint32)) - 1)
+    word_idx = within >> 4
+    bit_lim = ((within & 15) << 1).astype(jnp.uint32)
+    lane = jnp.arange(8, dtype=jnp.int32)
+    partial = match & ((jnp.uint32(1) << bit_lim[..., None]) - 1)
     counts = jnp.where(
-        full_mask,
-        lax.population_count(w),
-        jnp.where(part_mask, lax.population_count(partial_bits), 0),
+        lane < word_idx[..., None],
+        lax.population_count(match),
+        jnp.where(lane == word_idx[..., None], lax.population_count(partial), 0),
     )
-    return base + counts.sum(-1).astype(jnp.int32)
+    return base.astype(jnp.int32) + counts.sum(-1).astype(jnp.int32)
+
+
+def _rank_digit(index: WaveletFMIndex, level: int, pos, d):
+    return _rank_from_block(_load_block(index, level, pos), pos, d)
+
+
+def _digit_at(w, pos):
+    """The 2-bit code of row ``pos`` from its block words."""
+    within = pos & 127
+    word = jnp.take_along_axis(
+        w, (4 + (within >> 4))[..., None].astype(jnp.int32), axis=-1
+    )[..., 0]
+    return ((word >> ((within & 15) << 1).astype(jnp.uint32)) & 3).astype(jnp.int32)
 
 
 def rank(index: WaveletFMIndex, symbol, pos):
-    """Occ(symbol, pos) for *shifted* symbols; wavelet descent."""
+    """Occ(symbol, pos) for *shifted* symbols; 4-ary wavelet descent."""
     symbol = jnp.asarray(symbol, jnp.int32)
     pos = jnp.asarray(pos, jnp.int32)
     valid = (symbol >= 0) & (symbol < index.sigma)
     c = jnp.where(valid, symbol, 0)
-    L = index.levels
+    L = index.digits
     p = jnp.broadcast_to(pos, c.shape)
     for lvl in range(L):
-        node = ((1 << lvl) - 1) + (c >> (L - lvl))
+        node = heap_base(lvl) + (c >> (2 * (L - lvl)))
         start = index.node_start[node]
-        start_ones = index.node_ones[node]
-        b = (c >> (L - 1 - lvl)) & 1
-        ones = _rank1(index, lvl, start + p) - start_ones
-        p = jnp.where(b == 1, ones, p - ones)
+        d = (c >> (2 * (L - 1 - lvl))) & 3
+        cnt0 = jnp.take_along_axis(
+            index.node_cnt[node], d[..., None], axis=-1
+        )[..., 0]
+        p = _rank_digit(index, lvl, start + p, d) - cnt0
     return jnp.where(valid, p, 0)
 
 
 def access(index: WaveletFMIndex, rows):
-    """BWT symbol (shifted) at the given rows; wavelet descent."""
+    """BWT symbol (shifted) at the given rows; 4-ary wavelet descent."""
     rows = jnp.asarray(rows, jnp.int32)
     ok = (rows >= 0) & (rows < index.n_rows)
     p = jnp.where(ok, rows, 0)
     c = jnp.zeros_like(p)
-    L = index.levels
+    L = index.digits
     for lvl in range(L):
-        node = ((1 << lvl) - 1) + c
+        node = heap_base(lvl) + c
         start = index.node_start[node]
-        start_ones = index.node_ones[node]
         x = start + p
-        word = index.bits[lvl, x >> 5]
-        bit = (word >> (x & 31).astype(jnp.uint32)).astype(jnp.int32) & 1
-        ones = _rank1(index, lvl, x) - start_ones
-        p = jnp.where(bit == 1, ones, p - ones)
-        c = (c << 1) | bit
+        w = _load_block(index, lvl, x)
+        d = _digit_at(w, x)
+        cnt0 = jnp.take_along_axis(
+            index.node_cnt[node], d[..., None], axis=-1
+        )[..., 0]
+        p = _rank_from_block(w, x, d) - cnt0
+        c = (c << 2) | d
     return jnp.where(ok, c, 0)
 
 
@@ -123,43 +157,47 @@ def extend_ranges(index: WaveletFMIndex, tokens, lo, hi):
     return backward_step(index, tokens, lo, hi)
 
 
+def _bucket_digits(index: WaveletFMIndex) -> int:
+    return min(BUCKET_DEPTH // 2, index.digits)
+
+
 def bucket_counts_width(index: WaveletFMIndex) -> int:
     """Static width of ``bucket_counts`` output (for loop-carried buffers)."""
-    return 1 << min(BUCKET_DEPTH, index.levels)
+    return 1 << (2 * _bucket_digits(index))
 
 
 def bucket_counts(index: WaveletFMIndex, lo, hi):
     """Exact per-bucket counts of BWT[lo:hi) by wavelet interval bisection.
 
-    Descends BUCKET_DEPTH levels tracking the interval through every prefix
-    node: the wavelet tree is its own bucket structure, no auxiliary table.
-    Returns int32 [..., 2^BUCKET_DEPTH] where bucket b spans shifted symbols
-    with top BUCKET_DEPTH bits == b (i.e. bucket_size = 2^(levels - depth)).
+    Descends ``BUCKET_DEPTH/2`` 4-ary levels tracking the interval through
+    every prefix node: the wavelet tree is its own bucket structure, no
+    auxiliary table.  Returns int32 [..., 4^depth] where bucket b spans
+    shifted symbols with top bits == b (bucket_size = ``bucket_size_of``).
     """
     lo = jnp.asarray(lo, jnp.int32)
     hi = jnp.asarray(hi, jnp.int32)
-    depth = min(BUCKET_DEPTH, index.levels)
-    # per-node interval bounds within the node's sequence, [..., 2^l, 2]
-    plo = (lo - 0)[..., None]  # root node: positions are absolute
-    phi = (hi - 0)[..., None]
+    depth = _bucket_digits(index)
+    plo = lo[..., None]  # [..., nodes] bounds within each node's sequence
+    phi = hi[..., None]
     for lvl in range(depth):
-        nodes = ((1 << lvl) - 1) + jnp.arange(1 << lvl, dtype=jnp.int32)
+        nodes = heap_base(lvl) + jnp.arange(1 << (2 * lvl), dtype=jnp.int32)
         start = index.node_start[nodes]
-        start_ones = index.node_ones[nodes]
-        ones_lo = _rank1(index, lvl, start + plo) - start_ones
-        ones_hi = _rank1(index, lvl, start + phi) - start_ones
-        left_lo, left_hi = plo - ones_lo, phi - ones_hi
-        right_lo, right_hi = ones_lo, ones_hi
-        # interleave children: node 2i (left), 2i+1 (right)
-        plo = jnp.stack([left_lo, right_lo], -1).reshape(lo.shape + (2 << lvl,))
-        phi = jnp.stack([left_hi, right_hi], -1).reshape(hi.shape + (2 << lvl,))
+        cnt0 = index.node_cnt[nodes]  # [nodes, 4]
+        w_lo = _load_block(index, lvl, start + plo)
+        w_hi = _load_block(index, lvl, start + phi)
+        child_lo, child_hi = [], []
+        for v in range(4):
+            d = jnp.full(plo.shape, v, jnp.int32)
+            child_lo.append(_rank_from_block(w_lo, start + plo, d) - cnt0[..., v])
+            child_hi.append(_rank_from_block(w_hi, start + phi, d) - cnt0[..., v])
+        plo = jnp.stack(child_lo, -1).reshape(lo.shape + (4 << (2 * lvl),))
+        phi = jnp.stack(child_hi, -1).reshape(hi.shape + (4 << (2 * lvl),))
     return jnp.maximum(phi - plo, 0).astype(jnp.int32)
 
 
 def bucket_size_of(index: WaveletFMIndex) -> int:
     """Shifted-symbol span per bucket_counts bucket."""
-    depth = min(BUCKET_DEPTH, index.levels)
-    return 1 << (index.levels - depth)
+    return 1 << (2 * (index.digits - _bucket_digits(index)))
 
 
 def dense_counts(index: WaveletFMIndex, lo, hi, chunk: int = 4096):

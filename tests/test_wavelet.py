@@ -122,7 +122,7 @@ def test_memory_footprint_compact():
     # fixed node tables dominate at this tiny scale; subtract them for the
     # asymptotic per-token figure
     fixed = (
-        wt.node_start.size * 4 + wt.node_ones.size * 4
+        wt.node_start.size * 4 + wt.node_cnt.size * 4
         + wt.C.size * 4 + wt.corpus_counts.size * 4
     )
     marginal = (wt.memory_bytes() - fixed) / len(host)
