@@ -93,12 +93,13 @@ class WaveletFMIndex:
 
     @classmethod
     def from_host(cls, index: FMIndex, vocab: int | None = None) -> "WaveletFMIndex":
-        bwt = np.asarray(index.bwt, np.int64)
-        n = bwt.size
+        n = index.size()
         if n >= 2**31:
             # node offsets / ranks are int32 on device; larger corpora must
-            # shard (parallel/sharded_index.py) until uint32 plumbing lands
+            # shard (parallel/sharded_index.py) -- single-chip uint32 row
+            # plumbing is a pervasive hazard with x64 disabled (BASELINE.md)
             raise ValueError("corpora >= 2^31 rows need the sharded index")
+        bwt = np.asarray(index.bwt, np.int64)
         sigma = int(index.C.size - 1)
         if vocab is None:
             vocab = max(sigma - SHIFT, 1)

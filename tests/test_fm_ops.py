@@ -161,3 +161,18 @@ def test_head_directory_rank_and_ranges():
     np.testing.assert_array_equal(np.asarray(hi), np.asarray(hi0))
     for i, p in enumerate(pats):
         assert (int(lo[i]), int(hi[i])) == host.get_range(p), p
+
+
+def test_int32_row_guard_raises_cleanly():
+    """Both device layouts must REFUSE >= 2^31-row builds (BASELINE.md: the
+    2.5B-token configuration is sharded-only) before touching any array."""
+    from seal_tpu.index.wavelet import WaveletFMIndex
+
+    class Huge:
+        def size(self):
+            return 2**31
+
+    with pytest.raises(ValueError, match="sharded index"):
+        DeviceFMIndex.from_host(Huge(), vocab=50265)
+    with pytest.raises(ValueError, match="sharded index"):
+        WaveletFMIndex.from_host(Huge(), vocab=50265)
