@@ -29,6 +29,40 @@ from seal_tpu.models import api as model_api
 from seal_tpu.models.config import BartConfig
 
 
+def _fetch_local(outputs):
+    """``jax.device_get`` that works under multi-process SPMD serving.
+
+    Single-process: fetch the whole pytree.  Multi-process (DCN data
+    parallelism, ``parallel/multihost.py``): global output arrays are not
+    fully addressable, so fetch only this process's shards and reassemble
+    its LOCAL batch rows -- each process then extracts hypotheses for
+    exactly the queries it contributed via ``host_batch_to_global``.
+    """
+    if jax.process_count() == 1:
+        return jax.device_get(outputs)
+
+    def leaf(x):
+        shards = sorted(
+            x.addressable_shards,
+            key=lambda s: tuple((sl.start or 0) for sl in s.index),
+        )
+        # drop replicas (same offset on several local devices)
+        seen = {}
+        for s in shards:
+            off = tuple((sl.start or 0) for sl in s.index)
+            if off not in seen:
+                seen[off] = np.asarray(s.data)
+        offs = sorted(seen)
+        if len(offs) == 1:
+            return seen[offs[0]]
+        axis = next(
+            i for i, (a, b) in enumerate(zip(offs[0], offs[1])) if a != b
+        )
+        return np.concatenate([seen[o] for o in offs], axis=axis)
+
+    return jax.tree_util.tree_map(leaf, outputs)
+
+
 def pad_batch(seqs: Sequence[Sequence[int]], pad_id: int, multiple: int = 8):
     """Right-pad token lists into [B, L] arrays + attention mask."""
     maxlen = max(len(s) for s in seqs)
@@ -210,7 +244,8 @@ def fm_index_generate(
         num_groups=diverse_bs_groups,
         diversity_penalty=diverse_bs_penalty,
     )
-    check_dense_budget(dcfg, int(np.asarray(input_ids).shape[0]), model_cfg.vocab_size)
+    # np.shape: never materializes (input may be a multi-process global array)
+    check_dense_budget(dcfg, int(np.shape(input_ids)[0]), model_cfg.vocab_size)
     run = _jitted_search(model_cfg, dcfg, mesh)
     out = run(
         params,
@@ -219,5 +254,5 @@ def fm_index_generate(
         jnp.asarray(attention_mask),
         jax.random.PRNGKey(seed),
     )
-    out = jax.device_get(out)  # single host transfer for the whole pytree
+    out = _fetch_local(out)  # one transfer; local rows under multi-process
     return extract_hypotheses(out, dcfg)
