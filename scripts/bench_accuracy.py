@@ -149,5 +149,183 @@ def main():
         print(f"{name:<28} {acc[1]:.3f}   {acc[5]:.3f}   {acc[20]:.3f}")
 
 
+def main_large():
+    """Order-of-magnitude scale-up (VERDICT r2 #7): ~1M-token corpus, 595
+    derived topics, a trained from-scratch byte-BPE vocab, a 6-layer model
+    trained in-script; acc@1/5/20 for exact vs sharded vs compact index
+    modes plus the EXECUTED-reference-ranker oracle on the same keys.
+    Runs on CPU; ~15-25 minutes.  Results recorded in PARITY.md.
+    """
+    import dataclasses
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from seal_tpu.index import FMIndex
+    from seal_tpu.models.config import bart_tiny
+    from seal_tpu.models.tokenizer import ByteLevelBPETokenizer
+    from seal_tpu.retrieval.searcher import SEALSearcher
+    from seal_tpu.training import trainer
+
+    rng = np.random.default_rng(0)
+    pool = [f"theme{i}" for i in range(35)]
+    topics = [f"{pool[i]} {pool[j]}" for i in range(35) for j in range(i + 1, 35)][:595]
+    n_topics = len(topics)
+    filler = [f"word{i}" for i in range(1200)]
+    texts = [
+        f"{t.title()} @@ all about {t} and the {t} facts "
+        + " ".join(rng.choice(filler, size=60))
+        for t in topics
+    ]
+    n_fill = 4200
+    texts += [
+        f"Filler{i} @@ " + " ".join(rng.choice(filler, size=230))
+        for i in range(n_fill)
+    ]
+    labels = [f"t{i}" for i in range(n_topics)] + [f"f{i}" for i in range(n_fill)]
+    gold = dict(zip(topics, labels[:n_topics]))
+    queries = {t: f"tell me about {t} please" for t in topics}
+
+    t0 = time.time()
+    tok = ByteLevelBPETokenizer.train(
+        [" " + x for x in texts[: n_topics + 400]]
+        + [" " + q + " || body || +" for q in list(queries.values())[:100]],
+        vocab_size=4000,
+    )
+    print(f"# BPE vocab {tok.vocab_size} trained in {time.time()-t0:.0f}s",
+          file=sys.stderr)
+
+    t0 = time.time()
+    docs = [tok.encode_plain(" " + x) + [tok.eos_token_id] for x in texts]
+    index = FMIndex()
+    index.initialize(docs, labels=labels)
+    print(f"# corpus: {len(index)} tokens, {index.n_docs} docs "
+          f"(build {time.time()-t0:.0f}s)", file=sys.stderr)
+
+    cfg = dataclasses.replace(
+        bart_tiny(vocab_size=tok.vocab_size),
+        d_model=128, encoder_layers=3, decoder_layers=3,
+        encoder_attention_heads=8, decoder_attention_heads=8,
+        encoder_ffn_dim=512, decoder_ffn_dim=512,
+        max_position_embeddings=128,
+    )
+    tcfg = trainer.TrainConfig(learning_rate=3e-3, warmup_steps=30, total_steps=4000)
+    params, opt_state = trainer.init_train_state(cfg, tcfg, jax.random.PRNGKey(0))
+    step_fn, _ = trainer.make_train_step(cfg, tcfg)
+    step_fn = jax.jit(step_fn)
+
+    pairs = []
+    for t in topics:
+        src = tok.encode(" " + queries[t] + " || body || +")
+        tgt = tok.encode_plain(f" all about {t} and the {t}")
+        pairs.append((src, tgt))
+    ls = max(len(s) for s, _ in pairs)
+    lt = max(len(t) for _, t in pairs) + 1
+
+    def batch_of(idxs):
+        b = {
+            "src_ids": np.full((len(idxs), ls), cfg.pad_token_id, np.int32),
+            "src_mask": np.zeros((len(idxs), ls), np.int32),
+            "tgt_in": np.full((len(idxs), lt), cfg.pad_token_id, np.int32),
+            "tgt_out": np.full((len(idxs), lt), cfg.pad_token_id, np.int32),
+        }
+        for r, i in enumerate(idxs):
+            s, t = pairs[i]
+            b["src_ids"][r, : len(s)] = s
+            b["src_mask"][r, : len(s)] = 1
+            b["tgt_in"][r, 0] = cfg.decoder_start_token_id
+            b["tgt_in"][r, 1 : len(t) + 1] = t
+            b["tgt_out"][r, : len(t)] = t
+        return b
+
+    t0 = time.time()
+    loss = None
+    for step in range(int(os.environ.get("ACC_TRAIN_STEPS_LARGE", 1200))):
+        idxs = rng.choice(len(pairs), size=16).tolist()
+        params, opt_state, loss = step_fn(params, opt_state, batch_of(idxs))
+    print(f"# trained in {time.time()-t0:.0f}s, loss {float(loss):.3f}",
+          file=sys.stderr)
+
+    common = dict(
+        backbone="word-vocab",  # generic marker branch; BPE ' @@'/' ||' ids
+        beam=6,
+        length=6,
+        batch_size=16,
+        decode_titles=False,
+        add_query_to_keys=False,
+        unigram_scores=False,
+        min_length=0,
+        progress=False,
+    )
+    qlist = [queries[t] for t in topics]
+
+    def acc_of(ranked_ids_per_query):
+        acc = {1: 0, 5: 0, 20: 0}
+        for t, ids in zip(topics, ranked_ids_per_query):
+            for k in acc:
+                acc[k] += int(gold[t] in ids[:k])
+        return {k: v / n_topics for k, v in acc.items()}
+
+    def accuracy(searcher):
+        t0 = time.time()
+        res = searcher.batch_search(qlist, k=20, detokenize=False)
+        print(f"#   searched {len(qlist)} queries in {time.time()-t0:.0f}s",
+              file=sys.stderr)
+        return acc_of([[h.docid for h in hits] for hits in res])
+
+    modes = {}
+    exact = SEALSearcher(index, tok, cfg, params, **common)
+    modes["exact (default)"] = accuracy(exact)
+
+    # --- reference-ranker oracle on the SAME generated keys ---------------
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "..", "tests"))
+    from test_reference_differential import ref_keys  # executed genuine source
+
+    rk_ref = ref_keys()
+    t0 = time.time()
+    keysets = list(exact.batch_generate_keys(qlist))
+    ranked = []
+    for kk in keysets:
+        res, _ = rk_ref.aggregate_evidence(
+            ngrams_and_scores=[(list(n), s) for n, s in kk],
+            unigram_scores=None,
+            index=index,
+            max_occurrences_1=exact.max_hits,
+            n_docs_complete_score=exact.fully_score,
+            alpha=exact.score_exponent,
+            beta=exact.repetition_penalty,
+            use_top_k_unigrams=exact.use_top_k_ngrams,
+            smoothing=exact.smoothing,
+        )
+        from itertools import islice
+
+        ranked.append([labels[i] for i in islice(res, 20)])
+    modes["reference-ranker oracle"] = acc_of(ranked)
+    print(f"#   oracle ranked in {time.time()-t0:.0f}s", file=sys.stderr)
+
+    mesh = None
+    from seal_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh(n_data=8, n_model=1, devices=jax.devices()[:8])
+    sharded = SEALSearcher.build_sharded(
+        docs, labels, tok, cfg, params, mesh=mesh, n_shards=8, **common
+    )
+    modes["sharded exact (8 shards)"] = accuracy(sharded)
+
+    modes["compact index (wavelet)"] = accuracy(
+        SEALSearcher(index, tok, cfg, params, compact_index=True, **common)
+    )
+
+    print(f"{'mode':<28} acc@1   acc@5   acc@20   "
+          f"({len(index)} tokens, {n_topics} topics, vocab {tok.vocab_size})")
+    for name, acc in modes.items():
+        print(f"{name:<28} {acc[1]:.3f}   {acc[5]:.3f}   {acc[20]:.3f}")
+
+
 if __name__ == "__main__":
-    main()
+    if "--scale" in sys.argv and "large" in sys.argv:
+        main_large()
+    else:
+        main()

@@ -109,6 +109,83 @@ class ByteLevelBPETokenizer:
             os.path.join(path, "vocab.json"), os.path.join(path, "merges.txt")
         )
 
+    @classmethod
+    def train(
+        cls, texts: Sequence[str], vocab_size: int = 8000
+    ) -> "ByteLevelBPETokenizer":
+        """Train a byte-level BPE vocab from scratch (classic greedy pair
+        merging over word-type frequencies, deterministic tie-break).  The
+        offline path for benchmarks/corpora without a shipped vocab; HF's
+        pretrained GPT-2 vocab loads via ``from_dir`` as usual."""
+        from collections import Counter
+
+        be = bytes_to_unicode()
+        word_freq: Counter = Counter()
+        for t in texts:
+            for w in _GPT2_PAT.findall(t):
+                word_freq["".join(be[b] for b in w.encode("utf-8"))] += 1
+
+        vocab: Dict[str, int] = {
+            SpecialTokens.bos: 0,
+            SpecialTokens.pad: 1,
+            SpecialTokens.eos: 2,
+            SpecialTokens.unk: 3,
+        }
+        # full byte coverage so encode never needs <unk> for unseen bytes
+        for ch in be.values():
+            vocab[ch] = len(vocab)
+        # incremental pair counts: each merge touches only the words that
+        # contain the merged pair (a full recount per merge is O(corpus) and
+        # unusable past a few hundred merges)
+        words = {w: list(w) for w in word_freq}
+        pairs: Counter = Counter()
+        where: Dict[tuple, set] = {}
+        for w, syms in words.items():
+            f = word_freq[w]
+            for p in zip(syms, syms[1:]):
+                pairs[p] += f
+                where.setdefault(p, set()).add(w)
+        merges: List[tuple] = []
+        budget = vocab_size - len(vocab) - 1  # reserve <mask>
+        while len(merges) < budget and pairs:
+            (a, b), cnt = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))
+            if cnt < 2:
+                break
+            merges.append((a, b))
+            new = a + b
+            vocab[new] = len(vocab)
+            for w in list(where.get((a, b), ())):
+                syms = words[w]
+                f = word_freq[w]
+                for p in zip(syms, syms[1:]):
+                    pairs[p] -= f
+                    if pairs[p] <= 0:
+                        del pairs[p]
+                out: List[str] = []
+                i = 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(new)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                words[w] = out
+                for p in zip(out, out[1:]):
+                    pairs[p] = pairs.get(p, 0) + f
+                    where.setdefault(p, set()).add(w)
+        vocab[SpecialTokens.mask] = len(vocab)
+        return cls(vocab, merges)
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "vocab.json"), "w") as f:
+            json.dump(self.encoder, f)
+        with open(os.path.join(path, "merges.txt"), "w") as f:
+            f.write("#version: 0.2\n")
+            for a, b in sorted(self.bpe_ranks, key=self.bpe_ranks.get):
+                f.write(f"{a} {b}\n")
+
     # -- BPE core ---------------------------------------------------------
 
     def _bpe(self, token: str) -> str:

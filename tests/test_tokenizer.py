@@ -91,3 +91,29 @@ def test_word_tokenize():
     assert word_tokenize("Can you eat soup-with a fork?") == [
         "Can", "you", "eat", "soup", "-", "with", "a", "fork", "?",
     ]
+
+
+def test_trained_bpe_roundtrip_and_persistence(tmp_path):
+    """The from-scratch BPE trainer: exact round-trips on training text,
+    byte coverage for unseen input, and from_dir reload identity."""
+    from seal_tpu.models.tokenizer import ByteLevelBPETokenizer
+
+    texts = [
+        " the theme of the soup is the fork",
+        " soup and forks and themes repeat themes",
+        " numbers 123 and punctuation, too!",
+    ]
+    tok = ByteLevelBPETokenizer.train(texts, vocab_size=400)
+    assert len(tok.bpe_ranks) > 0
+    for t in texts:
+        ids = tok.encode_plain(t)
+        assert tok.unk_token_id not in ids
+        assert tok.decode(ids) == t
+    # unseen word: byte coverage keeps it lossless
+    assert tok.decode(tok.encode_plain(" zebra!")) == " zebra!"
+    # specials in BART positions
+    assert (tok.bos_token_id, tok.pad_token_id, tok.eos_token_id) == (0, 1, 2)
+    tok.save(str(tmp_path / "bpe"))
+    tok2 = ByteLevelBPETokenizer.from_dir(str(tmp_path / "bpe"))
+    for t in texts:
+        assert tok2.encode(t) == tok.encode(t)
