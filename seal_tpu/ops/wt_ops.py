@@ -1,11 +1,12 @@
-"""Batched FM-index query ops over the 4-ary wavelet-tree layout.
+"""Batched FM-index query ops over the 16-ary wavelet-tree layout.
 
 Same op surface as ``seal_tpu.ops.fm_ops`` (the Psi layout), so the fused
 constrained decoder runs unchanged on either index.  A level query is ONE
-contiguous 12-word gather (interleaved rank directory + packed 2-bit codes,
-see ``seal_tpu/index/wavelet.py``) plus ``lax.population_count`` on the
-VPU; a symbol rank/access descends ``digits`` (= symbol_bits/2) levels
-sequentially -- half the binary design's depth with ~4x less gathered data.
+contiguous 48-word gather (interleaved rank directory + packed 4-bit codes,
+see ``seal_tpu/index/wavelet.py``) plus a SWAR nibble-match and
+``lax.population_count`` on the VPU; a symbol rank/access descends
+``digits`` (= symbol_bits/4) sequential levels -- the dependent-gather
+chain that sets the latency floor, halved vs the 4-ary design.
 """
 
 from __future__ import annotations
@@ -16,41 +17,51 @@ from jax import lax
 from seal_tpu.index.fm_index import SHIFT
 from seal_tpu.index.wavelet import (
     BUCKET_DEPTH,
+    CODE_WORDS,
+    DIGIT_BITS,
+    RADIX,
     WORDS_PER_BLOCK,
     WaveletFMIndex,
     heap_base,
 )
 from seal_tpu.ops import _generic
 
-_EVEN = jnp.uint32(0x55555555)  # bits 0,2,4,... (the low bit of each code)
+_ONES = jnp.uint32(0x11111111)  # bit 0 of each nibble
 
 
 def _load_block(index: WaveletFMIndex, level: int, pos):
-    """The 12 interleaved words of ``pos``'s block: [..., 12] uint32."""
-    blk = (pos >> 7) * WORDS_PER_BLOCK
-    return index.blocks[level, blk[..., None] + jnp.arange(WORDS_PER_BLOCK)]
+    """The 48 interleaved words of ``pos``'s block: [..., 48] uint32.
+
+    MUST stay a whole-row ``jnp.take`` along the block axis: XLA lowers it
+    to a sliced gather that moves the 48-word block per index, where the
+    equivalent elementwise ``base[..., None] + arange(48)`` indexing
+    gathers 48 scalars per index -- measured 10-30x slower on v5e.
+    """
+    return jnp.take(index.blocks[level], pos >> 8, axis=0)
 
 
-def _match_words(w, d):
-    """Per code word, bitmask (at even positions) of rows whose digit == d."""
-    codes = w[..., 4:12]
-    low = codes & _EVEN
-    high = (codes >> 1) & _EVEN
-    d = d[..., None]
-    m_low = jnp.where((d & 1) == 1, low, low ^ _EVEN)
-    m_high = jnp.where((d >> 1) == 1, high, high ^ _EVEN)
-    return m_low & m_high
+def _match_nibbles(w, d):
+    """Per code word, bitmask (at nibble-low positions) of rows whose
+    4-bit digit == d: XOR against the broadcast digit, then OR-reduce each
+    nibble's 4 bits down to bit 0 -- a zero nibble (= a match) leaves its
+    low bit clear, so the complement under the 0x11111111 lane mask marks
+    matches exactly (no SWAR borrow hazards)."""
+    codes = w[..., RADIX:WORDS_PER_BLOCK]
+    x = codes ^ (d[..., None].astype(jnp.uint32) * _ONES)
+    y = x | (x >> 2)
+    y = y | (y >> 1)
+    return ~y & _ONES
 
 
 def _rank_from_block(w, pos, d):
     """Count of digit ``d`` in the level sequence before ``pos``, given the
     block words ``w`` (= _load_block at pos)."""
     base = jnp.take_along_axis(w, d[..., None].astype(jnp.int32), axis=-1)[..., 0]
-    match = _match_words(w, d)
-    within = pos & 127
-    word_idx = within >> 4
-    bit_lim = ((within & 15) << 1).astype(jnp.uint32)
-    lane = jnp.arange(8, dtype=jnp.int32)
+    match = _match_nibbles(w, d)
+    within = pos & (jnp.int32(1 << 8) - 1)
+    word_idx = within >> 3
+    bit_lim = ((within & 7) << 2).astype(jnp.uint32)
+    lane = jnp.arange(CODE_WORDS, dtype=jnp.int32)
     partial = match & ((jnp.uint32(1) << bit_lim[..., None]) - 1)
     counts = jnp.where(
         lane < word_idx[..., None],
@@ -65,16 +76,16 @@ def _rank_digit(index: WaveletFMIndex, level: int, pos, d):
 
 
 def _digit_at(w, pos):
-    """The 2-bit code of row ``pos`` from its block words."""
-    within = pos & 127
+    """The 4-bit code of row ``pos`` from its block words."""
+    within = pos & 255
     word = jnp.take_along_axis(
-        w, (4 + (within >> 4))[..., None].astype(jnp.int32), axis=-1
+        w, (RADIX + (within >> 3))[..., None].astype(jnp.int32), axis=-1
     )[..., 0]
-    return ((word >> ((within & 15) << 1).astype(jnp.uint32)) & 3).astype(jnp.int32)
+    return ((word >> ((within & 7) << 2).astype(jnp.uint32)) & 15).astype(jnp.int32)
 
 
 def rank(index: WaveletFMIndex, symbol, pos):
-    """Occ(symbol, pos) for *shifted* symbols; 4-ary wavelet descent."""
+    """Occ(symbol, pos) for *shifted* symbols; 16-ary wavelet descent."""
     symbol = jnp.asarray(symbol, jnp.int32)
     pos = jnp.asarray(pos, jnp.int32)
     valid = (symbol >= 0) & (symbol < index.sigma)
@@ -82,9 +93,9 @@ def rank(index: WaveletFMIndex, symbol, pos):
     L = index.digits
     p = jnp.broadcast_to(pos, c.shape)
     for lvl in range(L):
-        node = heap_base(lvl) + (c >> (2 * (L - lvl)))
+        node = heap_base(lvl) + (c >> (DIGIT_BITS * (L - lvl)))
         start = index.node_start[node]
-        d = (c >> (2 * (L - 1 - lvl))) & 3
+        d = (c >> (DIGIT_BITS * (L - 1 - lvl))) & 15
         cnt0 = jnp.take_along_axis(
             index.node_cnt[node], d[..., None], axis=-1
         )[..., 0]
@@ -93,7 +104,7 @@ def rank(index: WaveletFMIndex, symbol, pos):
 
 
 def access(index: WaveletFMIndex, rows):
-    """BWT symbol (shifted) at the given rows; 4-ary wavelet descent."""
+    """BWT symbol (shifted) at the given rows; 16-ary wavelet descent."""
     rows = jnp.asarray(rows, jnp.int32)
     ok = (rows >= 0) & (rows < index.n_rows)
     p = jnp.where(ok, rows, 0)
@@ -109,7 +120,7 @@ def access(index: WaveletFMIndex, rows):
             index.node_cnt[node], d[..., None], axis=-1
         )[..., 0]
         p = _rank_from_block(w, x, d) - cnt0
-        c = (c << 2) | d
+        c = (c << DIGIT_BITS) | d
     return jnp.where(ok, c, 0)
 
 
@@ -158,20 +169,20 @@ def extend_ranges(index: WaveletFMIndex, tokens, lo, hi):
 
 
 def _bucket_digits(index: WaveletFMIndex) -> int:
-    return min(BUCKET_DEPTH // 2, index.digits)
+    return min(BUCKET_DEPTH // DIGIT_BITS, index.digits)
 
 
 def bucket_counts_width(index: WaveletFMIndex) -> int:
     """Static width of ``bucket_counts`` output (for loop-carried buffers)."""
-    return 1 << (2 * _bucket_digits(index))
+    return 1 << (DIGIT_BITS * _bucket_digits(index))
 
 
 def bucket_counts(index: WaveletFMIndex, lo, hi):
     """Exact per-bucket counts of BWT[lo:hi) by wavelet interval bisection.
 
-    Descends ``BUCKET_DEPTH/2`` 4-ary levels tracking the interval through
+    Descends ``BUCKET_DEPTH/4`` 16-ary levels tracking the interval through
     every prefix node: the wavelet tree is its own bucket structure, no
-    auxiliary table.  Returns int32 [..., 4^depth] where bucket b spans
+    auxiliary table.  Returns int32 [..., 16^depth] where bucket b spans
     shifted symbols with top bits == b (bucket_size = ``bucket_size_of``).
     """
     lo = jnp.asarray(lo, jnp.int32)
@@ -180,24 +191,24 @@ def bucket_counts(index: WaveletFMIndex, lo, hi):
     plo = lo[..., None]  # [..., nodes] bounds within each node's sequence
     phi = hi[..., None]
     for lvl in range(depth):
-        nodes = heap_base(lvl) + jnp.arange(1 << (2 * lvl), dtype=jnp.int32)
+        nodes = heap_base(lvl) + jnp.arange(1 << (DIGIT_BITS * lvl), dtype=jnp.int32)
         start = index.node_start[nodes]
-        cnt0 = index.node_cnt[nodes]  # [nodes, 4]
+        cnt0 = index.node_cnt[nodes]  # [nodes, 16]
         w_lo = _load_block(index, lvl, start + plo)
         w_hi = _load_block(index, lvl, start + phi)
         child_lo, child_hi = [], []
-        for v in range(4):
+        for v in range(RADIX):
             d = jnp.full(plo.shape, v, jnp.int32)
             child_lo.append(_rank_from_block(w_lo, start + plo, d) - cnt0[..., v])
             child_hi.append(_rank_from_block(w_hi, start + phi, d) - cnt0[..., v])
-        plo = jnp.stack(child_lo, -1).reshape(lo.shape + (4 << (2 * lvl),))
-        phi = jnp.stack(child_hi, -1).reshape(hi.shape + (4 << (2 * lvl),))
+        plo = jnp.stack(child_lo, -1).reshape(lo.shape + (RADIX << (DIGIT_BITS * lvl),))
+        phi = jnp.stack(child_hi, -1).reshape(hi.shape + (RADIX << (DIGIT_BITS * lvl),))
     return jnp.maximum(phi - plo, 0).astype(jnp.int32)
 
 
 def bucket_size_of(index: WaveletFMIndex) -> int:
     """Shifted-symbol span per bucket_counts bucket."""
-    return 1 << (2 * (index.digits - _bucket_digits(index)))
+    return 1 << (DIGIT_BITS * (index.digits - _bucket_digits(index)))
 
 
 def dense_counts(index: WaveletFMIndex, lo, hi, chunk: int = 4096):
