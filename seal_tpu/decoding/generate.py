@@ -176,7 +176,7 @@ def extract_hypotheses(
     return results
 
 
-def fm_index_generate(
+def fm_index_generate_async(
     model_cfg: BartConfig,
     params,
     index: DeviceFMIndex,
@@ -206,11 +206,16 @@ def fm_index_generate(
     diverse_bs_penalty: float = 0.0,
     seed: int = 0,
     mesh=None,
-) -> List[List[Tuple[float, List[int]]]]:
-    """Constrained generation; returns per-query [(score, token_list), ...].
+):
+    """Dispatch constrained generation; returns a zero-arg ``finalize``.
 
-    Signature parity with reference ``beam_search.py:392-413`` (sample /
-    diverse-beam-group modes are handled by the searcher-level fallbacks).
+    The jitted program is enqueued asynchronously (JAX dispatch returns
+    device arrays immediately); calling the returned closure blocks on the
+    device result, transfers it, and extracts hypotheses on host.  Callers
+    that dispatch batch N+1 before finalizing batch N overlap the host
+    transfer + backtrack (~30% of batch wall time through the TPU tunnel)
+    with device compute -- the serving pipeline the searcher and benches
+    use.  ``fm_index_generate`` is the synchronous wrapper.
     """
     del length_penalty, keep_history  # history extraction makes both no-ops
     if isinstance(input_ids, (list, tuple)):
@@ -254,5 +259,18 @@ def fm_index_generate(
         jnp.asarray(attention_mask),
         jax.random.PRNGKey(seed),
     )
-    out = _fetch_local(out)  # one transfer; local rows under multi-process
-    return extract_hypotheses(out, dcfg)
+
+    def finalize() -> List[List[Tuple[float, List[int]]]]:
+        # one transfer; local rows under multi-process
+        return extract_hypotheses(_fetch_local(out), dcfg)
+
+    return finalize
+
+
+def fm_index_generate(*args, **kwargs) -> List[List[Tuple[float, List[int]]]]:
+    """Constrained generation; returns per-query [(score, token_list), ...].
+
+    Signature parity with reference ``beam_search.py:392-413`` (sample /
+    diverse-beam-group modes are handled by the searcher-level fallbacks).
+    """
+    return fm_index_generate_async(*args, **kwargs)()
