@@ -340,13 +340,16 @@ def _exact_topk(x, k: int, blk: int = 64):
 def _exact_proposals(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, pad_lp, eos_tok):
     """Per beam, the ``n_buf`` best *allowed* tokens by LM log-prob -- exact.
 
-    Round 0 is HOISTED out of the while loop: it runs unconditionally (in
-    steady state some beam always needs it), skips the consumed-prefix
-    masking (nothing is consumed yet), and validates the explicit EOS
-    column in the same rank call as the proposals -- every rank call is a
-    serialized chain of ``search_iters`` HBM gathers, so one fused chain
-    per step replaces two (profiled round 3).  Returns
-    (buf_tok, buf_lp, buf_valid, eos_cnt).
+    Round 0 is HOISTED out of the while loop (it skips the consumed-prefix
+    masking -- nothing is consumed yet), and the WHOLE proposal machinery
+    (round 0 + loop) sits under ``lax.cond(any(~exempt))``: once every
+    beam is finished / stop-forced / window-exhaustive -- the steady state
+    after the first few steps, when intervals have shrunk below the window
+    -- the TopK custom call and the validate rank chain (together ~45% of
+    a decode step, profiled round 3) are skipped entirely, bit-exactly:
+    exempt beams' proposals can only duplicate window slots.  The EOS
+    column is validated by its own short rank chain so it survives the
+    skip.  Returns (buf_tok, buf_lp, buf_valid, eos_cnt).
 
     Each round does two sweeps in parallel: an exact top-``chunk`` slice of
     the not-yet-examined LM distribution (validated with rank queries) and a
@@ -445,68 +448,92 @@ def _exact_proposals(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, p
             jnp.take_along_axis(all_valid & fresh, keep, -1),
         )
 
-    # ---- hoisted round 0: raw distribution, EOS column piggybacked -------
-    buf_tok = jnp.full((B, K, n_buf), 0, jnp.int32)
-    buf_lp = jnp.full((B, K, n_buf), NEG_INF, jnp.float32)
-    buf_valid = jnp.zeros((B, K, n_buf), bool)
-    top_lp0, top_tok0 = lax.top_k(lp.reshape(B * K, V), chunk)
-    top_tok0 = top_tok0.reshape(B, K, chunk).astype(jnp.int32)
-    top_lp0 = top_lp0.reshape(B, K, chunk)
-    counts0 = ops.validate(jnp.concatenate([top_tok0, eos_tok], -1), lo, hi)
-    eos_cnt = counts0[..., chunk:]
-    valid0 = (counts0[..., :chunk] > 0) & (top_lp0 > NEG_INF / 2)
-    buf_tok, buf_lp, buf_valid = merge_round(
-        buf_tok, buf_lp, buf_valid, top_tok0, top_lp0, valid0, 0
-    )
-    # Consumed-prefix threshold: every round consumes a further prefix of the
-    # per-beam (lp desc, token asc) order -- lax.top_k's exact tie-break --
-    # so "already examined" is one (lp, token) pair per beam.  Masking by
-    # comparison against it replaces the round-1 design's scatter of consumed
-    # slots into a carried [B, K, V] tensor: no scatter op (slow on TPU) and
-    # ~400 MB less loop-carried HBM traffic at the beam-32/batch-64 config.
-    th_lp0 = top_lp0[..., -1]
-    th_ix0 = top_tok0[..., -1]
-    dead0 = top_lp0[..., 0] <= NEG_INF / 2  # proposal space exhausted
-    covered0 = ops.interval_covered(lo, hi, chunk)
-    bc0 = jnp.zeros((B, K, ops.n_buckets()), jnp.int32)
+    # EOS validation: its own (short, 480-lane) rank chain, so the whole
+    # LM-proposal machinery below can be skipped when no beam needs it.
+    eos_cnt = ops.validate(eos_tok, lo, hi)
 
-    def cond(state):
-        th_lp, th_ix, buf_tok, buf_lp, buf_valid, dead, covered, bcounts, it = state
-        n_valid = buf_valid.sum(-1)
-        need = ~exempt & ~dead & ~covered & (n_valid < n_buf)
-        return jnp.any(need) & (it * chunk < V)
-
-    def body(state):
-        th_lp, th_ix, buf_tok, buf_lp, buf_valid, dead, covered, bcounts, it = state
-        bcounts = lax.cond(
-            it == 1, lambda _: ops.bucket_counts(lo, hi), lambda _: bcounts, None
-        )
-        base = proposal_lp(it, bcounts)
-        consumed = (base > th_lp[..., None]) | (
-            (base == th_lp[..., None]) & (v_idx <= th_ix[..., None])
-        )
-        work = jnp.where(consumed, NEG_INF, base)
-        top_lp, top_tok = lax.top_k(work.reshape(B * K, V), chunk)
-        top_tok = top_tok.reshape(B, K, chunk).astype(jnp.int32)
-        top_lp = top_lp.reshape(B, K, chunk)
-        counts = ops.validate(top_tok, lo, hi)
-        # exhausted slots carry NEG_INF; exclude them (and true -inf logits)
-        valid = (counts > 0) & (top_lp > NEG_INF / 2)
+    def run_proposals(_):
+        # ---- hoisted round 0: raw distribution --------------------------
+        buf_tok = jnp.full((B, K, n_buf), 0, jnp.int32)
+        buf_lp = jnp.full((B, K, n_buf), NEG_INF, jnp.float32)
+        buf_valid = jnp.zeros((B, K, n_buf), bool)
+        top_lp0, top_tok0 = lax.top_k(lp.reshape(B * K, V), chunk)
+        top_tok0 = top_tok0.reshape(B, K, chunk).astype(jnp.int32)
+        top_lp0 = top_lp0.reshape(B, K, chunk)
+        counts0 = ops.validate(top_tok0, lo, hi)
+        valid0 = (counts0 > 0) & (top_lp0 > NEG_INF / 2)
         buf_tok, buf_lp, buf_valid = merge_round(
-            buf_tok, buf_lp, buf_valid, top_tok, top_lp, valid, it
+            buf_tok, buf_lp, buf_valid, top_tok0, top_lp0, valid0, 0
         )
-        th_lp = top_lp[..., -1]
-        th_ix = top_tok[..., -1]
-        # nothing proposable remains once the chunk's best slot is exhausted
-        dead = top_lp[..., 0] <= NEG_INF / 2
-        covered = ops.interval_covered(lo, hi, (it + 1) * chunk)
-        return th_lp, th_ix, buf_tok, buf_lp, buf_valid, dead, covered, bcounts, it + 1
+        # Consumed-prefix threshold: every round consumes a further prefix of
+        # the per-beam (lp desc, token asc) order -- lax.top_k's exact
+        # tie-break -- so "already examined" is one (lp, token) pair per beam.
+        # Masking by comparison against it replaces the round-1 design's
+        # scatter of consumed slots into a carried [B, K, V] tensor: no
+        # scatter op (slow on TPU) and ~400 MB less loop-carried HBM traffic
+        # at the beam-32/batch-64 config.
+        th_lp0 = top_lp0[..., -1]
+        th_ix0 = top_tok0[..., -1]
+        dead0 = top_lp0[..., 0] <= NEG_INF / 2  # proposal space exhausted
+        covered0 = ops.interval_covered(lo, hi, chunk)
+        bc0 = jnp.zeros((B, K, ops.n_buckets()), jnp.int32)
 
-    state = (
-        th_lp0, th_ix0, buf_tok, buf_lp, buf_valid, dead0, covered0, bc0,
-        jnp.int32(1),
+        def cond(state):
+            th_lp, th_ix, buf_tok, buf_lp, buf_valid, dead, covered, bcounts, it = state
+            n_valid = buf_valid.sum(-1)
+            need = ~exempt & ~dead & ~covered & (n_valid < n_buf)
+            return jnp.any(need) & (it * chunk < V)
+
+        def body(state):
+            th_lp, th_ix, buf_tok, buf_lp, buf_valid, dead, covered, bcounts, it = state
+            bcounts = lax.cond(
+                it == 1, lambda _: ops.bucket_counts(lo, hi), lambda _: bcounts, None
+            )
+            base = proposal_lp(it, bcounts)
+            consumed = (base > th_lp[..., None]) | (
+                (base == th_lp[..., None]) & (v_idx <= th_ix[..., None])
+            )
+            work = jnp.where(consumed, NEG_INF, base)
+            top_lp, top_tok = lax.top_k(work.reshape(B * K, V), chunk)
+            top_tok = top_tok.reshape(B, K, chunk).astype(jnp.int32)
+            top_lp = top_lp.reshape(B, K, chunk)
+            counts = ops.validate(top_tok, lo, hi)
+            # exhausted slots carry NEG_INF; exclude them (and true -inf logits)
+            valid = (counts > 0) & (top_lp > NEG_INF / 2)
+            buf_tok, buf_lp, buf_valid = merge_round(
+                buf_tok, buf_lp, buf_valid, top_tok, top_lp, valid, it
+            )
+            th_lp = top_lp[..., -1]
+            th_ix = top_tok[..., -1]
+            # nothing proposable remains once the chunk's best slot is exhausted
+            dead = top_lp[..., 0] <= NEG_INF / 2
+            covered = ops.interval_covered(lo, hi, (it + 1) * chunk)
+            return th_lp, th_ix, buf_tok, buf_lp, buf_valid, dead, covered, bcounts, it + 1
+
+        state = (
+            th_lp0, th_ix0, buf_tok, buf_lp, buf_valid, dead0, covered0, bc0,
+            jnp.int32(1),
+        )
+        _, _, buf_tok, buf_lp, buf_valid, _, _, _, _ = lax.while_loop(cond, body, state)
+        return buf_tok, buf_lp, buf_valid
+
+    def skip_proposals(_):
+        # Every beam is exempt (finished / stop-forced / window-exhaustive):
+        # the window slots already enumerate each live interval exactly, so
+        # LM proposals could only duplicate them (identical scores; dedup
+        # keeps one copy) -- dropping them is bit-exact.  Profiled round 3:
+        # the round-0 TopK custom call + validate rank chain are ~45% of a
+        # decode step, and past step ~3 intervals are window-small, so this
+        # skip is the single largest step-cost saving.
+        return (
+            jnp.full((B, K, n_buf), cfg.pad_token_id, jnp.int32),
+            jnp.broadcast_to(pad_lp, (B, K, n_buf)),
+            jnp.zeros((B, K, n_buf), bool),
+        )
+
+    buf_tok, buf_lp, buf_valid = lax.cond(
+        jnp.any(~exempt), run_proposals, skip_proposals, None
     )
-    _, _, buf_tok, buf_lp, buf_valid, _, _, _, _ = lax.while_loop(cond, body, state)
 
     # unfilled slots become PAD candidates at PAD's true log-prob, matching
     # what the dense mode scores for the finished->PAD branch
