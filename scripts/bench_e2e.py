@@ -60,6 +60,7 @@ def main():
     t0 = time.time()
     out = searcher.batch_search(queries[:16], k=10)  # warmup/compile
     warm = time.time() - t0
+    searcher.phase_timer.enabled = True  # fine-grained split of the steady run
     t0 = time.time()
     out = searcher.batch_search(queries, k=10)
     elapsed = time.time() - t0
@@ -69,6 +70,9 @@ def main():
         f"-> {len(queries)/elapsed:.2f} q/s end-to-end; {hits}/{len(queries)} non-empty",
         file=sys.stderr,
     )
+    # phases overlap under pipelining (decode in a producer thread), so
+    # these are shares of where time is spent, not a wall-clock sum
+    print(f"# phases: {searcher.phase_timer.summary()}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -114,6 +114,11 @@ class SingleIndexOps:
     def validate(self, tokens, lo, hi):
         return self._ops.validate_tokens(self.index, tokens, lo, hi)
 
+    def contains(self, tokens, lo, hi):
+        """Membership (== validate > 0) at half the gather traffic on the
+        Psi layout; the decode proposal loop only consumes count > 0."""
+        return self._ops.contains_tokens(self.index, tokens, lo, hi)
+
     def window(self, lo, hi, w):
         return self._ops.window_continuations(self.index, lo, hi, w)
 
@@ -284,21 +289,20 @@ def _candidates_general(
         # round-1 mode: one approximate proposal round.  approx_max_k rides
         # the TPU's hardware top-k path; a missed candidate only shrinks the
         # proposal set, never produces an invalid key.
-        eos_cnt = ops.validate(eos_tok, lo, hi)
+        eos_ok = ops.contains(eos_tok, lo, hi)
         top_lp, top_tok = lax.approx_max_k(lp, cfg.top_m, recall_target=0.95)
         top_tok = top_tok.astype(jnp.int32)
-        top_counts = ops.validate(top_tok, lo, hi)
-        top_valid = top_counts > 0
+        top_valid = ops.contains(top_tok, lo, hi)
     else:
         # the EOS column rides the hoisted first proposal round's rank call
         # (one serialized binary-search chain per step instead of two)
-        top_tok, top_lp, top_valid, eos_cnt = _exact_proposals(
+        top_tok, top_lp, top_valid, eos_ok = _exact_proposals(
             ops, cfg, lp, lo, hi, prev_count, finished, pad_lp, eos_tok
         )
 
     tokens = jnp.concatenate([top_tok, win_tok, eos_tok, pad_tok], -1)
     fm_valid = jnp.concatenate(
-        [top_valid, win_valid, eos_cnt > 0, jnp.zeros((B, K, 1), bool)], -1
+        [top_valid, win_valid, eos_ok, jnp.zeros((B, K, 1), bool)], -1
     )
     cand_lp = jnp.concatenate([top_lp, win_lp, eos_lp, pad_lp], -1)
     # candidate ORDER is free here: selection tie-breaks on (score, token)
@@ -348,8 +352,9 @@ def _exact_proposals(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, p
     -- the TopK custom call and the validate rank chain (together ~45% of
     a decode step, profiled round 3) are skipped entirely, bit-exactly:
     exempt beams' proposals can only duplicate window slots.  The EOS
-    column is validated by its own short rank chain so it survives the
-    skip.  Returns (buf_tok, buf_lp, buf_valid, eos_cnt).
+    column rides round 0's membership query when proposals run, and gets
+    its own short single-chain query in the skip branch.  Returns
+    (buf_tok, buf_lp, buf_valid, eos_ok).
 
     Each round does two sweeps in parallel: an exact top-``chunk`` slice of
     the not-yet-examined LM distribution (validated with rank queries) and a
@@ -381,6 +386,9 @@ def _exact_proposals(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, p
     count_eff = jnp.where(finished, 0, prev_count)
     stop_trig = (cfg.stop_at_count > 0) & (count_eff <= cfg.stop_at_count)
     exempt = finished | stop_trig | ops.window_exhaustive(lo, hi, cfg.window)
+    import os as _os
+    if _os.environ.get("SEAL_DEBUG_ACTIVE"):
+        jax.debug.print("n_active={a} / {r}", a=(~exempt).sum(), r=exempt.size)
 
     from seal_tpu.index.fm_index import SHIFT
 
@@ -448,20 +456,20 @@ def _exact_proposals(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, p
             jnp.take_along_axis(all_valid & fresh, keep, -1),
         )
 
-    # EOS validation: its own (short, 480-lane) rank chain, so the whole
-    # LM-proposal machinery below can be skipped when no beam needs it.
-    eos_cnt = ops.validate(eos_tok, lo, hi)
-
     def run_proposals(_):
-        # ---- hoisted round 0: raw distribution --------------------------
+        # ---- hoisted round 0: raw distribution, EOS column piggybacked --
+        # (membership, not counts: ops.contains is ONE binary-search chain
+        # on the Psi layout -- half the rank-gather traffic, the dominant
+        # constraint-op cost at the bench config, profiled round 3)
         buf_tok = jnp.full((B, K, n_buf), 0, jnp.int32)
         buf_lp = jnp.full((B, K, n_buf), NEG_INF, jnp.float32)
         buf_valid = jnp.zeros((B, K, n_buf), bool)
         top_lp0, top_tok0 = lax.top_k(lp.reshape(B * K, V), chunk)
         top_tok0 = top_tok0.reshape(B, K, chunk).astype(jnp.int32)
         top_lp0 = top_lp0.reshape(B, K, chunk)
-        counts0 = ops.validate(top_tok0, lo, hi)
-        valid0 = (counts0 > 0) & (top_lp0 > NEG_INF / 2)
+        ok0 = ops.contains(jnp.concatenate([top_tok0, eos_tok], -1), lo, hi)
+        eos_ok = ok0[..., chunk:]
+        valid0 = ok0[..., :chunk] & (top_lp0 > NEG_INF / 2)
         buf_tok, buf_lp, buf_valid = merge_round(
             buf_tok, buf_lp, buf_valid, top_tok0, top_lp0, valid0, 0
         )
@@ -497,9 +505,9 @@ def _exact_proposals(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, p
             top_lp, top_tok = lax.top_k(work.reshape(B * K, V), chunk)
             top_tok = top_tok.reshape(B, K, chunk).astype(jnp.int32)
             top_lp = top_lp.reshape(B, K, chunk)
-            counts = ops.validate(top_tok, lo, hi)
+            ok = ops.contains(top_tok, lo, hi)
             # exhausted slots carry NEG_INF; exclude them (and true -inf logits)
-            valid = (counts > 0) & (top_lp > NEG_INF / 2)
+            valid = ok & (top_lp > NEG_INF / 2)
             buf_tok, buf_lp, buf_valid = merge_round(
                 buf_tok, buf_lp, buf_valid, top_tok, top_lp, valid, it
             )
@@ -515,7 +523,7 @@ def _exact_proposals(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, p
             jnp.int32(1),
         )
         _, _, buf_tok, buf_lp, buf_valid, _, _, _, _ = lax.while_loop(cond, body, state)
-        return buf_tok, buf_lp, buf_valid
+        return buf_tok, buf_lp, buf_valid, eos_ok
 
     def skip_proposals(_):
         # Every beam is exempt (finished / stop-forced / window-exhaustive):
@@ -524,14 +532,17 @@ def _exact_proposals(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, p
         # keeps one copy) -- dropping them is bit-exact.  Profiled round 3:
         # the round-0 TopK custom call + validate rank chain are ~45% of a
         # decode step, and past step ~3 intervals are window-small, so this
-        # skip is the single largest step-cost saving.
+        # skip is the single largest step-cost saving.  EOS membership
+        # still matters for exempt-but-unfinished beams, so it keeps its
+        # own (short, single-chain) membership query in this branch.
         return (
             jnp.full((B, K, n_buf), cfg.pad_token_id, jnp.int32),
             jnp.broadcast_to(pad_lp, (B, K, n_buf)),
             jnp.zeros((B, K, n_buf), bool),
+            ops.contains(eos_tok, lo, hi),
         )
 
-    buf_tok, buf_lp, buf_valid = lax.cond(
+    buf_tok, buf_lp, buf_valid, eos_ok = lax.cond(
         jnp.any(~exempt), run_proposals, skip_proposals, None
     )
 
@@ -539,7 +550,7 @@ def _exact_proposals(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, p
     # what the dense mode scores for the finished->PAD branch
     buf_tok = jnp.where(buf_valid, buf_tok, cfg.pad_token_id)
     buf_lp = jnp.where(buf_valid, buf_lp, pad_lp)
-    return buf_tok, buf_lp, buf_valid, eos_cnt
+    return buf_tok, buf_lp, buf_valid, eos_ok
 
 
 def _apply_branches(cfg: DecodeConfig, tokens, fm_valid, cand_lp, prev_count, finished):

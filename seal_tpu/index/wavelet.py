@@ -77,6 +77,14 @@ class WaveletFMIndex:
     sigma: int = struct.field(pytree_node=False)  # true corpus alphabet size
     vocab: int = struct.field(pytree_node=False)
     n_docs: int = struct.field(pytree_node=False)
+    # HYBRID mode: the raw shifted BWT (uint16/uint32 [n_rows]) alongside the
+    # wavelet tree.  Rank ops (validate/extend/buckets) descend the wavelet
+    # -- 4 dependent block gathers, FASTER than the Psi binary search's ~12
+    # (measured round 3) -- while window enumeration reads this array in one
+    # gather instead of a 4-level descent.  +2 B/token over compact (5.0
+    # B/token total) but still 1.5x smaller than the Psi layout's 7.6, and
+    # faster than both on the decode hot path.
+    bwt: Any = None
 
     @property
     def levels(self) -> int:
@@ -100,7 +108,9 @@ class WaveletFMIndex:
         return lo, hi
 
     @classmethod
-    def from_host(cls, index: FMIndex, vocab: int | None = None) -> "WaveletFMIndex":
+    def from_host(
+        cls, index: FMIndex, vocab: int | None = None, keep_bwt: bool = False
+    ) -> "WaveletFMIndex":
         n = index.size()
         if n >= 2**31:
             # node offsets / ranks are int32 on device; larger corpora must
@@ -168,6 +178,11 @@ class WaveletFMIndex:
         C[: index.C.size] = index.C
         C[index.C.size :] = index.C[-1]
 
+        bwt_dev = None
+        if keep_bwt:
+            bwt_dtype = np.uint16 if sigma_bound <= 0xFFFF else np.uint32
+            bwt_dev = jnp.asarray(np.asarray(index.bwt, bwt_dtype))
+
         return cls(
             blocks=jnp.asarray(blocks),
             node_start=jnp.asarray(node_start, jnp.int32),
@@ -175,6 +190,7 @@ class WaveletFMIndex:
             C=jnp.asarray(C, jnp.int32),
             beginnings=jnp.asarray(index.beginnings, jnp.int32),
             corpus_counts=jnp.asarray(counts_v),
+            bwt=bwt_dev,
             n_rows=n,
             digits=digits,
             sigma=sigma,  # validity gate matches the Psi layout exactly

@@ -143,7 +143,15 @@ def backward_step(index: WaveletFMIndex, token, lo, hi):
 
 
 def bwt_at(index: WaveletFMIndex, rows):
-    """BWT symbols at rows, *unshifted* (sentinel -> -1)."""
+    """BWT symbols at rows, *unshifted* (sentinel -> -1).
+
+    Hybrid mode (``index.bwt`` present): one direct gather -- the 4-level
+    descent is ~4x slower for window enumeration (measured round 3), and
+    the raw array costs only 2 B/token.
+    """
+    if index.bwt is not None:
+        rows = jnp.asarray(rows, jnp.int32)
+        return index.bwt[rows].astype(jnp.int32) - SHIFT
     return access(index, rows).astype(jnp.int32) - SHIFT
 
 
@@ -162,6 +170,12 @@ def window_continuations(index: WaveletFMIndex, lo, hi, window: int):
 
 def validate_tokens(index: WaveletFMIndex, tokens, lo, hi):
     return _generic.validate_tokens(backward_step, index, tokens, lo, hi)
+
+
+def contains_tokens(index: WaveletFMIndex, tokens, lo, hi):
+    """Membership test (== ``validate_tokens(...) > 0``).  The wavelet
+    layout has no select path, so this is the plain two-bound rank."""
+    return _generic.validate_tokens(backward_step, index, tokens, lo, hi) > 0
 
 
 def extend_ranges(index: WaveletFMIndex, tokens, lo, hi):

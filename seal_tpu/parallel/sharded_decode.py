@@ -92,6 +92,11 @@ class ShardedIndexOps:
         local = fm_ops.validate_tokens(self.dev, self._vary(tokens), lo, hi)
         return lax.psum(local, self.axis)
 
+    def contains(self, tokens, lo, hi):
+        # membership ORs across shards: psum of 0/1 then > 0
+        local = fm_ops.contains_tokens(self.dev, self._vary(tokens), lo, hi)
+        return lax.psum(local.astype(jnp.int32), self.axis) > 0
+
     def window(self, lo, hi, w):
         toks, valid = fm_ops.window_continuations(self.dev, lo, hi, w)
         # union candidate set: each shard scatters its window into its slot

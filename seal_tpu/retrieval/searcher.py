@@ -115,7 +115,10 @@ class SEALSearcher:
         #   (default is the exact proposal loop: dense-mask semantics)
         "exact_mask": False,  # dense O(vocab) constraint mask (parity mode)
         "exact_ties": False,  # (beam, token)-ordered equal-score tie breaks
-        "compact_index": False,  # wavelet-tree device index (~2.6 B/token)
+        "compact_index": False,  # wavelet-tree device index (~3.0 B/token)
+        "hybrid_index": False,  # compact + raw BWT (~5.0 B/token): wavelet
+        #   rank ops with one-gather window enumeration -- the capacity
+        #   mode's speed tier (implies compact_index)
         "pipeline": True,  # overlap device generation with host aggregation
         "index_shards": 0,  # >1: partition the index over the device mesh
     }
@@ -147,13 +150,20 @@ class SEALSearcher:
             self.device_index = device_index  # unused in sharded mode
         elif device_index is not None:
             self.device_index = device_index
-        elif kwargs.get("compact_index", self.DEFAULTS["compact_index"]):
-            # capacity mode: ~2.6 B/token wavelet-tree layout (vs ~7 for
-            # Psi+BWT) at ~3x the per-query gather depth
+        elif kwargs.get("compact_index", self.DEFAULTS["compact_index"]) or kwargs.get(
+            "hybrid_index", self.DEFAULTS["hybrid_index"]
+        ):
+            # capacity mode: ~3.0 B/token wavelet-tree layout (vs ~7.6 for
+            # Psi+BWT); hybrid adds the raw BWT back (~5.0 B/token) for
+            # one-gather window enumeration
             from seal_tpu.index.wavelet import WaveletFMIndex
 
             self.device_index = WaveletFMIndex.from_host(
-                fm_index, vocab=model_cfg.vocab_size
+                fm_index,
+                vocab=model_cfg.vocab_size,
+                keep_bwt=bool(
+                    kwargs.get("hybrid_index", self.DEFAULTS["hybrid_index"])
+                ),
             )
         else:
             # decode never locates on device; SA/text stay host-side
@@ -165,9 +175,13 @@ class SEALSearcher:
         )
         self.num_docs = fm_index.n_docs
         self.docids = fm_index.labels
-        from seal_tpu.utils.profiling import ServingMetrics
+        from seal_tpu.utils.profiling import PhaseTimer, ServingMetrics
 
         self.metrics = ServingMetrics()
+        # fine-grained phase attribution (decode/rescore/unigram/aggregate/
+        # detokenize); disabled by default -- benchmarks flip .enabled on.
+        # Phases overlap under pipelining, so shares, not a wall-clock sum.
+        self.phase_timer = PhaseTimer(enabled=False)
         self.set_params(kwargs)
         if self.index_shards > 1 and sharded_index is None:
             raise ValueError(
@@ -465,13 +479,20 @@ class SEALSearcher:
         )
 
     def _generate(self, params, toks, **kw):
-        if self.sharded_index is not None:
-            from seal_tpu.parallel.sharded_decode import sharded_fm_index_generate
+        with self.phase_timer.phase("decode"):
+            if self.sharded_index is not None:
+                from seal_tpu.parallel.sharded_decode import sharded_fm_index_generate
 
-            return sharded_fm_index_generate(
-                self.model_cfg, params, self.sharded_index, self.mesh, toks, **kw
+                return sharded_fm_index_generate(
+                    self.model_cfg, params, self.sharded_index, self.mesh, toks, **kw
+                )
+            return fm_index_generate(
+                self.model_cfg, params, self.device_index, toks, **kw
             )
-        return fm_index_generate(self.model_cfg, params, self.device_index, toks, **kw)
+
+    def _rescore_keys(self, *args, **kw):
+        with self.phase_timer.phase("rescore"):
+            return rk.rescore_keys(*args, **kw)
 
     def _tokenize_batch(self, texts: Sequence[str]) -> List[List[int]]:
         limit = self.model_cfg.max_position_embeddings
@@ -605,7 +626,7 @@ class SEALSearcher:
             found_keys = [self._strip_body_keys(fk) for fk in raw]
             if self.rescore and self.use_markers:
                 plain = self._tokenize_batch(inputs)
-                found_keys = rk.rescore_keys(
+                found_keys = self._rescore_keys(
                     self.model_cfg, self.params, plain, found_keys, **rescore_strip
                 )
 
@@ -627,7 +648,7 @@ class SEALSearcher:
                 new_fk = [k for k, c in zip(new_fk, counts) if c > 0]
                 decomposed.append(new_fk)
             marked = self._tokenize_batch(self._marked(inputs, "body"))
-            scored = rk.rescore_keys(self.model_cfg, self.params, marked, decomposed)
+            scored = self._rescore_keys(self.model_cfg, self.params, marked, decomposed)
             for fk, nfk in zip(found_keys, scored):
                 fk += nfk
 
@@ -660,7 +681,7 @@ class SEALSearcher:
                 fk = self._count_filter(fk)
                 new_keys.append(fk)
             if self.rescore and self.use_markers:
-                new_keys = rk.rescore_keys(
+                new_keys = self._rescore_keys(
                     self.model_cfg,
                     self.title_params,
                     self._tokenize_batch(batch_str),
@@ -698,7 +719,7 @@ class SEALSearcher:
                 fk = self._count_filter(fk)
                 new_keys.append(fk)
             if self.rescore and self.use_markers:
-                new_keys = rk.rescore_keys(
+                new_keys = self._rescore_keys(
                     self.model_cfg,
                     self.code_params,
                     self._tokenize_batch(batch_str),
@@ -710,7 +731,7 @@ class SEALSearcher:
                 fk += nfk
 
         if self.rescore and not self.use_markers:
-            found_keys = rk.rescore_keys(
+            found_keys = self._rescore_keys(
                 self.model_cfg,
                 self.scorer_params,
                 self._tokenize_batch(inputs),
@@ -728,9 +749,10 @@ class SEALSearcher:
                 if self.force_decoding_second_token >= 0
                 else []
             )
-            us = rk.compute_unigram_scores(
-                self.model_cfg, self.scorer_params, marked, prefix=prefix
-            )
+            with self.phase_timer.phase("unigram"):
+                us = rk.compute_unigram_scores(
+                    self.model_cfg, self.scorer_params, marked, prefix=prefix
+                )
             return list(zip(found_keys, us))[:n_real]
         return found_keys[:n_real]
 
@@ -776,6 +798,10 @@ class SEALSearcher:
         unigram_scores = None
         if isinstance(keys, tuple) and len(keys) == 2:
             keys, unigram_scores = keys
+        with self.phase_timer.phase("aggregate"):
+            return self._retrieve_from_keys_inner(keys, unigram_scores, use_device)
+
+    def _retrieve_from_keys_inner(self, keys, unigram_scores, use_device):
         results, ngrams = rk.aggregate_evidence(
             ngrams_and_scores=keys,
             unigram_scores=unigram_scores,

@@ -81,6 +81,57 @@ def test_validate_tokens_matches_extended_counts(setup):
             assert int(got[i, j]) == host.get_count(list(p) + [int(cands[i, j])])
 
 
+def test_contains_tokens_matches_validate(setup):
+    """Membership (one binary-search chain) must equal validate > 0 on
+    arbitrary intervals: corpus-derived ranges, random sub-intervals,
+    empty intervals, the full range, and OOV/sentinel tokens."""
+    host, dev, docs, rng = setup
+    n = host.size()
+    pats = [docs[i][:2] for i in range(10)]
+    los = [host.get_range(p)[0] for p in pats]
+    his = [host.get_range(p)[1] for p in pats]
+    # random sub-intervals + degenerate cases
+    for _ in range(20):
+        a = int(rng.integers(0, n))
+        los.append(a)
+        his.append(int(rng.integers(a, n + 1)))
+    los += [0, 5, n]
+    his += [n, 5, n]  # full range, empty, empty-at-end
+    los = np.asarray(los, np.int32)
+    his = np.asarray(his, np.int32)
+    cands = rng.integers(-2, 45, size=(los.size, 9)).astype(np.int32)
+    cands[:, -1] = 39  # max unshifted vocab id
+    got = jax.jit(lambda t, l, h: fm_ops.contains_tokens(dev, t, l, h))(
+        cands, los, his
+    )
+    want = jax.jit(lambda t, l, h: fm_ops.validate_tokens(dev, t, l, h))(
+        cands, los, his
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want) > 0)
+
+
+def test_contains_tokens_with_head_directory():
+    """contains_tokens must stay exact when the Occ directory tightens the
+    search bounds (head symbols at a tiny dir block)."""
+    rng = np.random.default_rng(5)
+    toks = (rng.zipf(1.2, size=6000) % 28 + 4).astype(np.int64)
+    host = FMIndex()
+    host.initialize([d.tolist() for d in np.array_split(toks, 120)])
+    dev = DeviceFMIndex.from_host(host, vocab=40, dir_shift=6)
+    assert dev.head_occ is not None
+    n = host.size()
+    los = rng.integers(0, n, size=64).astype(np.int32)
+    his = np.minimum(los + rng.integers(0, n, size=64), n).astype(np.int32)
+    cands = rng.integers(0, 40, size=(64, 8)).astype(np.int32)
+    got = jax.jit(lambda t, l, h: fm_ops.contains_tokens(dev, t, l, h))(
+        cands, los, his
+    )
+    want = jax.jit(lambda t, l, h: fm_ops.validate_tokens(dev, t, l, h))(
+        cands, los, his
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want) > 0)
+
+
 def test_locate_and_doc_index(setup):
     host, dev, docs, rng = setup
     rows = rng.integers(0, host.size(), size=50).astype(np.int32)

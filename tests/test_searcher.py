@@ -158,3 +158,39 @@ def test_free_generation_mode(searcher):
         assert docs[0].docid == "d0"
     finally:
         searcher.free_generation = False
+
+
+def test_index_layout_knobs_are_result_identical(searcher):
+    """compact_index / hybrid_index swap the device layout without changing
+    a single ranked result (bit-exact constraint semantics across layouts)."""
+    from seal_tpu.index.wavelet import WaveletFMIndex
+
+    queries = ["eating soup with a fork", "two wheels pedals bicycle"]
+    want = [
+        [(d.docid, round(d.score, 6)) for d in docs]
+        for docs in searcher.batch_search(queries, k=3)
+    ]
+    for knob in ({"compact_index": True}, {"hybrid_index": True}):
+        s2 = SEALSearcher(
+            searcher.fm_index,
+            searcher.tokenizer,
+            searcher.model_cfg,
+            searcher.params,
+            backbone="word-vocab",
+            beam=4,
+            length=4,
+            batch_size=4,
+            exact_mask=True,
+            decode_body=False,
+            decode_titles=False,
+            unigram_scores=False,
+            progress=False,
+            **knob,
+        )
+        assert isinstance(s2.device_index, WaveletFMIndex)
+        assert (s2.device_index.bwt is not None) == knob.get("hybrid_index", False)
+        got = [
+            [(d.docid, round(d.score, 6)) for d in docs]
+            for docs in s2.batch_search(queries, k=3)
+        ]
+        assert got == want, knob

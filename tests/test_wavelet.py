@@ -26,6 +26,55 @@ def setup():
     return host, wt, dev, docs, rng
 
 
+@pytest.fixture(scope="module")
+def hybrid(setup):
+    host, _, _, _, _ = setup
+    return WaveletFMIndex.from_host(host, vocab=40, keep_bwt=True)
+
+
+def test_hybrid_bwt_direct_gather_matches_descent(setup, hybrid):
+    host, wt, dev, docs, rng = setup
+    rows = rng.integers(0, host.size(), size=200).astype(np.int32)
+    direct = np.asarray(jax.jit(lambda r: wt_ops.bwt_at(hybrid, r))(rows))
+    descent = np.asarray(jax.jit(lambda r: wt_ops.bwt_at(wt, r))(rows))
+    np.testing.assert_array_equal(direct, descent)
+
+
+def test_hybrid_window_matches_psi(setup, hybrid):
+    host, wt, dev, docs, rng = setup
+    n = host.size()
+    lo = rng.integers(0, n - 1, size=(4, 3)).astype(np.int32)
+    hi = np.minimum(lo + rng.integers(1, n, size=(4, 3)), n).astype(np.int32)
+    htok, hval = jax.jit(
+        lambda a, b: wt_ops.window_continuations(hybrid, a, b, 8)
+    )(lo, hi)
+    ptok, pval = jax.jit(lambda a, b: fm_ops.window_continuations(dev, a, b, 8))(lo, hi)
+    np.testing.assert_array_equal(np.asarray(htok), np.asarray(ptok))
+    np.testing.assert_array_equal(np.asarray(hval), np.asarray(pval))
+
+
+def test_hybrid_full_decode_matches_psi_layout(setup, hybrid):
+    host, wt, dev, docs, rng = setup
+    from seal_tpu.decoding.generate import fm_index_generate, pad_batch
+    from seal_tpu.models import bart
+    from seal_tpu.models.config import bart_tiny
+
+    cfg = bart_tiny(vocab_size=40)
+    params = bart.init_params(jax.random.PRNGKey(0), cfg)
+    queries = [[0] + rng.integers(4, 36, size=4).tolist() + [2] for _ in range(3)]
+    ids, mask = pad_batch(queries, cfg.pad_token_id)
+    common = dict(
+        num_beams=4, max_length=6, min_length=1, forced_bos_token_id=None,
+        top_m=8, window=4, exact_chunk=4,
+    )
+    a = fm_index_generate(cfg, params, hybrid, ids, mask, **common)
+    b = fm_index_generate(cfg, params, dev, ids, mask, **common)
+    for qa, qb in zip(a, b):
+        sa = sorted((round(s, 4), tuple(t)) for s, t in qa)
+        sb = sorted((round(s, 4), tuple(t)) for s, t in qb)
+        assert sa == sb
+
+
 def test_rank_matches_host(setup):
     host, wt, dev, docs, rng = setup
     n = host.size()
