@@ -74,6 +74,19 @@ def main():
     # these are shares of where time is spent, not a wall-clock sum
     print(f"# phases: {searcher.phase_timer.summary()}", file=sys.stderr)
 
+    if os.environ.get("BENCH_E2E_PROFILE"):
+        # host-only profile of the dominant aggregate phase on real keys
+        import cProfile
+        import pstats
+
+        keys = list(searcher.batch_generate_keys(queries))
+        pr = cProfile.Profile()
+        pr.enable()
+        for kk in keys:
+            searcher.retrieve_from_keys(kk)
+        pr.disable()
+        pstats.Stats(pr, stream=sys.stderr).sort_stats("cumulative").print_stats(25)
+
 
 if __name__ == "__main__":
     main()

@@ -207,6 +207,43 @@ class FMIndex:
         doc_ids = np.searchsorted(self.doc_boundaries(), tok_ends, side="right") - 1
         return tok_ends, doc_ids
 
+    def occurrences_multi(self, ngrams, cap: int, rngs):
+        """Batched :meth:`occurrences`: ONE flat SA gather + ONE
+        doc-boundary searchsorted for all ngrams (the ranker's stage-1 feed
+        is Python-call-bound per-ngram otherwise on a 1-core host).
+
+        ``rngs``: per-ngram (lo, hi) row ranges (required -- the caller has
+        them cached).  Returns (tok_ends int64 [total], doc_ids int64
+        [total], row_off int64 [len+1]) with rows of ngram ``g`` at
+        ``row_off[g]:row_off[g+1]`` -- identical content and order to
+        per-ngram ``occurrences`` calls.
+        """
+        k = len(ngrams)
+        lo = np.fromiter((r[0] for r in rngs), np.int64, k)
+        hi = np.fromiter((r[1] for r in rngs), np.int64, k)
+        ns = np.minimum(np.maximum(hi - lo, 0), cap)
+        row_off = np.zeros(k + 1, np.int64)
+        np.cumsum(ns, out=row_off[1:])
+        total = int(row_off[-1])
+        flat = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(row_off[:-1], ns)
+            + np.repeat(lo, ns)
+        )
+        tok_ends = (
+            self.sa[flat].astype(np.int64) if total else np.zeros(0, np.int64)
+        )
+        doc_ids = np.searchsorted(self.doc_boundaries(), tok_ends, side="right") - 1
+        return tok_ends, doc_ids, row_off
+
+    def token_range(self, token: int) -> Tuple[int, int]:
+        """O(1) row range of a single token: one backward step from the full
+        range lands exactly on the C-array block ``[C[c], C[c+1])``."""
+        c = int(token) + SHIFT
+        if c < 1 or c + 1 >= self.C.size:
+            return (0, 0)
+        return (int(self.C[c]), int(self.C[c + 1]))
+
     def token_count(self, token: int) -> int:
         """O(1) corpus count of a single token (C-array difference); equals
         ``get_count([token])`` without the rank queries."""

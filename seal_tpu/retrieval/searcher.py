@@ -925,7 +925,9 @@ class SEALSearcher:
                                 self.fm_index.get_count(list(key)),
                             )
                     doc.keys = [(*key_texts[key], s) for key, s in kk]
-                doc._raw_tokens = full
+                # entry[3] is an np view in the native ranker path; document
+                # helpers (.index / decode) expect a Python list
+                doc._raw_tokens = full.tolist() if hasattr(full, "tolist") else full
                 docs.append(doc)
             retrieved.append(docs)
         if detokenize:

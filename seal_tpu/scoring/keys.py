@@ -232,6 +232,20 @@ def compute_unigram_scores(
 # ------------------------------------------------------------------- ranking
 
 
+def _stable_top_k_desc(u: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the ``k`` largest values in (value desc, index asc) order
+    -- identical output to ``np.argsort(-u, kind="stable")[:k]`` at
+    O(V + k log k) instead of a full stable sort (runs per query on a
+    vocab-sized vector in ``aggregate_evidence``)."""
+    if k >= u.size:
+        return np.argsort(-u, kind="stable")
+    t = np.partition(u, u.size - k)[u.size - k]  # k-th largest value
+    gt = np.flatnonzero(u > t)  # at most k-1 of these
+    eq = np.flatnonzero(u == t)[: k - gt.size]
+    cand = np.concatenate([gt, eq])
+    return cand[np.lexsort((cand, -u[cand]))]
+
+
 def _log_odds_score(sr: float, count: int, ntokens: float, smoothing: float,
                     alpha: float, length_penalty: float, ngram_len: int) -> float:
     """The LM-vs-corpus log-odds key score (``keys.py:216-227``)."""
@@ -339,7 +353,7 @@ def aggregate_evidence(
         # top-k selection with the reference's tie order (stable descending:
         # equal values keep ascending index)
         if use_top_k_unigrams < V_u:
-            top = np.argsort(-u, kind="stable")[:use_top_k_unigrams]
+            top = _stable_top_k_desc(u, use_top_k_unigrams)
         else:
             top = np.arange(V_u)
         # O(1) single-token counts via the C array when available (the
@@ -370,9 +384,14 @@ def aggregate_evidence(
         unigram_scores = out
 
         if add_best_unigrams_to_ngrams:
-            best_unigrams = np.argsort(-out, kind="stable")[: len(ngrams_and_scores)]
+            best_unigrams = _stable_top_k_desc(out, len(ngrams_and_scores))
+            has_tr = hasattr(index, "token_range")
             for i in best_unigrams.tolist():
                 counts[(i,)] = count1(i)
+                if has_tr and (i,) not in ranges_pre:
+                    # O(1) C-array block == get_range([i]) exactly; keeps
+                    # these unigrams off the per-ngram searchsorted chain
+                    ranges_pre[(i,)] = index.token_range(i)
                 ngrams_and_scores.append(([i], float(out[i])))
 
     # ---- rare / frequent split (keys.py:280-309) -------------------------
@@ -406,16 +425,28 @@ def aggregate_evidence(
         nat = None
 
     rare_list = list(rare_ngrams.items())
-    # occurrence rows (vectorized locate: one SA slice per ngram; the
-    # reference walks a sampled SA per row, keys.py:320-326)
-    occ_ends, occ_docs, row_off = [], [], [0]
-    for ngram, _sco in rare_list:
-        tok_ends, doc_ids = index.occurrences(
-            list(ngram), max_occurrences_1, rng=ranges_pre.get(tuple(ngram))
+    # occurrence rows (vectorized locate; the reference walks a sampled SA
+    # per row, keys.py:320-326).  One flat batched gather when the index
+    # supports it (FMIndex.occurrences_multi) -- the per-ngram call loop is
+    # Python-bound on a 1-core host -- else per-ngram occurrences().
+    if rare_list and hasattr(index, "occurrences_multi"):
+        flat_ends, flat_docs, row_off_a = index.occurrences_multi(
+            [list(n) for n, _ in rare_list],
+            max_occurrences_1,
+            [get_range_cached(tuple(n)) for n, _ in rare_list],
         )
-        occ_ends.append(np.asarray(tok_ends, np.int64))
-        occ_docs.append(np.asarray(doc_ids, np.int64))
-        row_off.append(row_off[-1] + len(tok_ends))
+        row_off = row_off_a.tolist()
+        occ_ends = [flat_ends[row_off[g] : row_off[g + 1]] for g in range(len(rare_list))]
+        occ_docs = [flat_docs[row_off[g] : row_off[g + 1]] for g in range(len(rare_list))]
+    else:
+        occ_ends, occ_docs, row_off = [], [], [0]
+        for ngram, _sco in rare_list:
+            tok_ends, doc_ids = index.occurrences(
+                list(ngram), max_occurrences_1, rng=ranges_pre.get(tuple(ngram))
+            )
+            occ_ends.append(np.asarray(tok_ends, np.int64))
+            occ_docs.append(np.asarray(doc_ids, np.int64))
+            row_off.append(row_off[-1] + len(tok_ends))
 
     def _stage1_prims():
         if sort_by_length:
@@ -444,10 +475,14 @@ def aggregate_evidence(
             allow_overlaps,
             max_token,
         )
-        fs_items = [
-            (int(d), (float(s), float(b)))
-            for d, s, b in zip(docs_u, scores_u, best_u)
-        ]
+        # stage-1 can surface tens of thousands of docs; the (score, best)
+        # ranking below runs vectorized instead of materializing per-doc
+        # tuples (same arithmetic, same stable tie order as sorted())
+        fs_items = None
+        fs_docs = np.asarray(docs_u, np.int64)
+        fs_key = (1.0 - single_key) * (-np.asarray(scores_u, np.float64)) + (
+            single_key * (-np.asarray(best_u, np.float64))
+        )
     else:  # pragma: no cover - python mirror of stage1_accumulate
         fs_scores: Dict[int, list] = {}
         order_idx: List[int] = []
@@ -480,10 +515,14 @@ def aggregate_evidence(
                 cov |= set(tt)
             fs_items.append((doc, (total, info[1])))
 
-    to_fully_score = sorted(
-        fs_items,
-        key=lambda x: (1.0 - single_key) * (-x[1][0]) + single_key * (-x[1][1]),
-    )[:n_docs_complete_score]
+    if fs_items is None:
+        order = np.argsort(fs_key, kind="stable")[:n_docs_complete_score]
+        to_fully_score = [(int(d), None) for d in fs_docs[order]]
+    else:  # pragma: no cover - python mirror
+        to_fully_score = sorted(
+            fs_items,
+            key=lambda x: (1.0 - single_key) * (-x[1][0]) + single_key * (-x[1][1]),
+        )[:n_docs_complete_score]
 
     # ---- stage 2: full multi-pattern matching + greedy assignment --------
     # (reference keys.py:377-497, heap form; the heap is fully built before
@@ -568,7 +607,10 @@ def aggregate_evidence(
         uni_l = np.asarray(uni).tolist()
         for di, doc in enumerate(doc_list):
             entry = results[doc]
-            entry[3] = doc_tokens_of(di)
+            # np view, not .tolist(): fully_score docs (1500) each get their
+            # tokens recorded but only the final top-k are ever read --
+            # converting every one to a Python list dominated this frame
+            entry[3] = doc_data[int(doc_off[di]) : int(doc_off[di + 1])]
             a, b = f_off_l[di], f_off_l[di + 1]
             entry[1] = [
                 (patterns[pid], s) if pid >= 0 else ((-pid - 1,), s)

@@ -128,8 +128,9 @@ def test_aggregate_evidence_unique_ngram_wins(toy_index):
     # matched ngrams recorded for doc0 include the unique key
     assert any(tuple(n) == (5, 6, 7) for n, _ in results[0][1])
     # every doc that got scored has doc_tokens = [2] + doc[:-1]
+    # (an np view in the native path; list() normalizes)
     for doc_idx, info in results.items():
-        assert info[3] == [2] + docs[doc_idx][:-1]
+        assert list(info[3]) == [2] + docs[doc_idx][:-1]
 
 
 def test_aggregate_evidence_zero_count_keys_dropped(toy_index):
