@@ -536,8 +536,13 @@ class SEALSearcher:
             # these batch sizes -- especially through a remote-TPU tunnel
             return self.fm_index.get_ranges_batch(seqs)
         if not hasattr(self, "_jit_ranges"):
+            # dispatch by device-index layout (wavelet layouts need wt_ops)
+            from seal_tpu.index.wavelet import WaveletFMIndex
+            from seal_tpu.ops import wt_ops
+
+            mod = wt_ops if isinstance(self.device_index, WaveletFMIndex) else fm_ops
             self._jit_ranges = jax.jit(
-                lambda idx, t, l: fm_ops.range_for_sequences(idx, t, l)
+                lambda idx, t, l: mod.range_for_sequences(idx, t, l)
             )
         lo, hi = self._jit_ranges(self.device_index, toks, lens)
         lo = np.asarray(lo)[:n]
