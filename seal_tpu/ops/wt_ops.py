@@ -12,6 +12,7 @@ chain that sets the latency floor, halved vs the 4-ary design.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from seal_tpu.index.fm_index import SHIFT
@@ -26,7 +27,15 @@ from seal_tpu.index.wavelet import (
 )
 from seal_tpu.ops import _generic
 
-_ONES = jnp.uint32(0x11111111)  # bit 0 of each nibble
+# bit 0 of each nibble.  A NUMPY scalar on purpose: a module-level
+# ``jnp.uint32`` is a live jax.Array that every traced wavelet program
+# captures as a jaxpr *const* (prepended executable parameter), and under
+# jax 0.9.0 the C++ fast-path replay of such programs mismatches the stored
+# const list after another signature of the same jit wrapper is traced
+# ("Executable expected parameter 0 of size 4..." -- see
+# tests/test_decode_modes.py::test_signature_change_replay).  A numpy
+# scalar is baked into the HLO as a literal instead.
+_ONES = np.uint32(0x11111111)
 
 
 def _load_block(index: WaveletFMIndex, level: int, pos):

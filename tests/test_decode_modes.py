@@ -113,3 +113,30 @@ def test_diverse_groups_validation():
         DecodeConfig(num_beams=5, num_groups=2)
     with pytest.raises(ValueError):
         DecodeConfig(sample=True, num_groups=2, num_beams=4)
+
+
+def test_signature_change_replay(world):
+    """Replaying a compiled signature after tracing another must not
+    mismatch executables.
+
+    Regression: a module-level ``jnp.uint32`` SWAR constant in ``wt_ops``
+    was captured as a jaxpr const (a prepended executable parameter) by
+    every wavelet-layout program; after the same jit wrapper traced a
+    second signature (other batch shape or the Psi layout), the C++
+    fast-path replay of the first raised INVALID_ARGUMENT ("Executable
+    expected parameter 0 of size 4...").  Seen end-to-end as ragged-batch
+    compact-mode ``batch_search`` crashing on its second batch.
+    """
+    from seal_tpu.index.wavelet import WaveletFMIndex
+
+    cfg, params, host, dev, ids, mask = world
+    wav = WaveletFMIndex.from_host(host, vocab=VOCAB)
+    kw = dict(num_beams=3, max_length=4, min_length=0, forced_bos_token_id=None)
+
+    first = fm_index_generate(cfg, params, wav, ids, mask, **kw)
+    # same wrapper, three other signatures: smaller batch, then Psi layout
+    fm_index_generate(cfg, params, wav, ids[:1], mask[:1], **kw)
+    fm_index_generate(cfg, params, dev, ids, mask, **kw)
+    # replay of the first compiled signature (the crash site)
+    replay = fm_index_generate(cfg, params, wav, ids, mask, **kw)
+    assert replay == first
