@@ -274,6 +274,10 @@ def main_large():
               file=sys.stderr)
         return acc_of([[h.docid for h in hits] for hits in res])
 
+    # ACC_LARGE_MODES=exact skips the slow modes (sharded search is ~26 min
+    # on the 1-core host) for training-budget iteration; default runs all
+    only_exact = os.environ.get("ACC_LARGE_MODES") == "exact"
+
     modes = {}
     exact = SEALSearcher(index, tok, cfg, params, **common)
     modes["exact (default)"] = accuracy(exact)
@@ -305,18 +309,18 @@ def main_large():
     modes["reference-ranker oracle"] = acc_of(ranked)
     print(f"#   oracle ranked in {time.time()-t0:.0f}s", file=sys.stderr)
 
-    mesh = None
-    from seal_tpu.parallel import mesh as mesh_lib
+    if not only_exact:
+        from seal_tpu.parallel import mesh as mesh_lib
 
-    mesh = mesh_lib.make_mesh(n_data=8, n_model=1, devices=jax.devices()[:8])
-    sharded = SEALSearcher.build_sharded(
-        docs, labels, tok, cfg, params, mesh=mesh, n_shards=8, **common
-    )
-    modes["sharded exact (8 shards)"] = accuracy(sharded)
+        mesh = mesh_lib.make_mesh(n_data=8, n_model=1, devices=jax.devices()[:8])
+        sharded = SEALSearcher.build_sharded(
+            docs, labels, tok, cfg, params, mesh=mesh, n_shards=8, **common
+        )
+        modes["sharded exact (8 shards)"] = accuracy(sharded)
 
-    modes["compact index (wavelet)"] = accuracy(
-        SEALSearcher(index, tok, cfg, params, compact_index=True, **common)
-    )
+        modes["compact index (wavelet)"] = accuracy(
+            SEALSearcher(index, tok, cfg, params, compact_index=True, **common)
+        )
 
     print(f"{'mode':<28} acc@1   acc@5   acc@20   "
           f"({len(index)} tokens, {n_topics} topics, vocab {tok.vocab_size})")
