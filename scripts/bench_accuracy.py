@@ -335,7 +335,12 @@ def main_large():
 
 
 if __name__ == "__main__":
-    if "--scale" in sys.argv and "large" in sys.argv:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--scale", choices=["small", "large"], default="small")
+    args = ap.parse_args()
+    if args.scale == "large":
         main_large()
     else:
         main()

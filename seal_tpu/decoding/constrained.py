@@ -66,11 +66,21 @@ NEG_INF = float(np.finfo(np.float32).min) / 2  # large-negative, -inf-safe
 # default exact proposal loop is bit-identical to dense semantics at any
 # shape and is the production path.
 DENSE_MASK_BUDGET = 1 << 24
+# the kernel fault is TPU-specific; CPU handles these shapes (slowly), and
+# the large-shape dense-parity differentials run there
+DENSE_GUARD_BACKENDS = frozenset({"tpu", "axon"})
 
 
 def check_dense_budget(cfg: "DecodeConfig", batch: int, vocab: int) -> None:
-    """Raise before dispatch when the dense parity mask would be too large."""
+    """Raise before dispatch when the dense parity mask would be too large.
+
+    Fires only on ``DENSE_GUARD_BACKENDS`` (TPU): the kernel fault it
+    guards against is TPU-specific, and CPU is where the large-shape
+    dense-parity differentials run.
+    """
     if not cfg.exact_mask or cfg.disable_fm_index:
+        return
+    if jax.default_backend() not in DENSE_GUARD_BACKENDS:
         return
     slots = batch * cfg.num_beams * vocab
     if slots > DENSE_MASK_BUDGET:
@@ -386,9 +396,6 @@ def _exact_proposals(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, p
     count_eff = jnp.where(finished, 0, prev_count)
     stop_trig = (cfg.stop_at_count > 0) & (count_eff <= cfg.stop_at_count)
     exempt = finished | stop_trig | ops.window_exhaustive(lo, hi, cfg.window)
-    import os as _os
-    if _os.environ.get("SEAL_DEBUG_ACTIVE"):
-        jax.debug.print("n_active={a} / {r}", a=(~exempt).sum(), r=exempt.size)
 
     from seal_tpu.index.fm_index import SHIFT
 

@@ -237,6 +237,11 @@ def _stable_top_k_desc(u: np.ndarray, k: int) -> np.ndarray:
     -- identical output to ``np.argsort(-u, kind="stable")[:k]`` at
     O(V + k log k) instead of a full stable sort (runs per query on a
     vocab-sized vector in ``aggregate_evidence``)."""
+    if k <= 0:
+        # k == 0 happens whenever a query ends up with zero scored keys
+        # (every decoded key filtered out) and unigram budgeting scales by
+        # the key count; np.partition(u, u.size) would raise
+        return np.empty(0, dtype=np.intp)
     if k >= u.size:
         return np.argsort(-u, kind="stable")
     t = np.partition(u, u.size - k)[u.size - k]  # k-th largest value
@@ -283,7 +288,13 @@ def aggregate_evidence(
 
     Returns (results, all_ngrams): ``results[doc] = [score, matched_ngrams,
     None, doc_tokens, best_single_ngram]`` sorted by descending score --
-    identical layout to the reference so downstream consumers are drop-in.
+    the reference's layout (``keys.py:493-497``) so downstream consumers
+    are drop-in, with ONE documented difference: ``doc_tokens`` is an int
+    *sequence* that may be a read-only numpy view rather than a Python
+    list (converting all ``n_docs_complete_score`` token lists dominated
+    the stage-2 frame; only the final top-k are ever read -- call
+    ``list()``/``.tolist()`` if you need list semantics, as
+    ``batch_search`` does).
     """
 
     def repetition(ngram_set, score, coverage):
@@ -430,23 +441,25 @@ def aggregate_evidence(
     # supports it (FMIndex.occurrences_multi) -- the per-ngram call loop is
     # Python-bound on a 1-core host -- else per-ngram occurrences().
     if rare_list and hasattr(index, "occurrences_multi"):
+        # kept FLAT: the native stage-1 kernel consumes (row_off, flat
+        # arrays) directly; only the python fallback needs per-ngram views
         flat_ends, flat_docs, row_off_a = index.occurrences_multi(
             [list(n) for n, _ in rare_list],
             max_occurrences_1,
             [get_range_cached(tuple(n)) for n, _ in rare_list],
         )
         row_off = row_off_a.tolist()
-        occ_ends = [flat_ends[row_off[g] : row_off[g + 1]] for g in range(len(rare_list))]
-        occ_docs = [flat_docs[row_off[g] : row_off[g + 1]] for g in range(len(rare_list))]
     else:
-        occ_ends, occ_docs, row_off = [], [], [0]
+        ends_parts, docs_parts, row_off = [], [], [0]
         for ngram, _sco in rare_list:
             tok_ends, doc_ids = index.occurrences(
                 list(ngram), max_occurrences_1, rng=ranges_pre.get(tuple(ngram))
             )
-            occ_ends.append(np.asarray(tok_ends, np.int64))
-            occ_docs.append(np.asarray(doc_ids, np.int64))
+            ends_parts.append(np.asarray(tok_ends, np.int64))
+            docs_parts.append(np.asarray(doc_ids, np.int64))
             row_off.append(row_off[-1] + len(tok_ends))
+        flat_ends = np.concatenate(ends_parts) if ends_parts else np.zeros(0, np.int64)
+        flat_docs = np.concatenate(docs_parts) if docs_parts else np.zeros(0, np.int64)
 
     def _stage1_prims():
         if sort_by_length:
@@ -467,8 +480,8 @@ def aggregate_evidence(
             [s for _, s in rare_list],
             prims1,
             row_off,
-            np.concatenate(occ_ends) if occ_ends else np.zeros(0, np.int64),
-            np.concatenate(occ_docs) if occ_docs else np.zeros(0, np.int64),
+            flat_ends,
+            flat_docs,
             covered,
             beta,
             init_prim1,
@@ -489,12 +502,12 @@ def aggregate_evidence(
         for g, (ngram, sco) in enumerate(rare_list):
             L = len(ngram)
             for r in range(row_off[g], row_off[g + 1]):
-                e = int(occ_ends[g][r - row_off[g]])
+                e = int(flat_ends[r])
                 s_pos = max(e - L, 0)
                 fresh = not covered[s_pos:e].any()
                 if fresh:
                     covered[s_pos:e] = 1
-                doc = int(occ_docs[g][r - row_off[g]])
+                doc = int(flat_docs[r])
                 info = fs_scores.get(doc)
                 if info is None:
                     info = [init_prim1, 0.0, [], -1]  # best_prim, best, matched, done

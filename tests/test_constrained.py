@@ -155,7 +155,10 @@ def test_dense_budget_guard(world):
 
     cfg, params, host, dev, ids, mask = world
     old = constrained.DENSE_MASK_BUDGET
+    old_backends = constrained.DENSE_GUARD_BACKENDS
     constrained.DENSE_MASK_BUDGET = 100  # 2 queries x 3 beams x 60 vocab = 360
+    # the guard fires only on TPU backends; include cpu to exercise it here
+    constrained.DENSE_GUARD_BACKENDS = old_backends | {"cpu"}
     try:
         with pytest.raises(ValueError, match="dense constraint mask"):
             fm_index_generate(
@@ -164,3 +167,4 @@ def test_dense_budget_guard(world):
             )
     finally:
         constrained.DENSE_MASK_BUDGET = old
+        constrained.DENSE_GUARD_BACKENDS = old_backends
