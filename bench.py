@@ -90,7 +90,39 @@ def _retry(fn, attempts=3, label=""):
             time.sleep(5.0 * (i + 1))
 
 
+def _preflight_backend(timeout_s: float = 240.0) -> None:
+    """Fail fast (one JSON error line) when the device backend is wedged.
+
+    The tunneled TPU worker can become unresponsive in a way that makes
+    ``jax.devices()`` block forever in THIS process (observed round 3);
+    probing device init in a subprocess with a timeout turns an opaque
+    driver-level hang into a legible error result.
+    """
+    import subprocess
+
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        if p.returncode == 0:
+            return
+        detail = (p.stderr or b"").decode(errors="replace").strip()[-300:]
+    except subprocess.TimeoutExpired:
+        detail = f"device init unresponsive after {timeout_s:.0f}s"
+    print(f"# backend preflight failed: {detail}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "constrained key-generation queries/sec/chip",
+        "value": None,
+        "unit": "queries/sec",
+        "error": f"device backend unavailable: {detail or 'init failed'}",
+    }))
+    sys.exit(1)
+
+
 def main():
+    _preflight_backend()
     import jax
 
     import seal_tpu  # noqa: F401
