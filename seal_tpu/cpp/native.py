@@ -166,7 +166,10 @@ class Native:
             pat_off.ctypes.data_as(i64p),
             sco.ctypes.data_as(f64p),
             prim.ctypes.data_as(f64p),
-            ctypes.c_int64(len(ngrams)),
+            # off-derived, not len(ngrams): _flatten accepts pre-flattened
+            # (data, offsets) tuples, where len() would be 2 (same trap
+            # ranges_multi already guards against)
+            ctypes.c_int64(int(pat_off.size - 1)),
             row_off.ctypes.data_as(i64p),
             tok_ends.ctypes.data_as(i64p),
             doc_ids.ctypes.data_as(i64p),

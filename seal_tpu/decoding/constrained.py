@@ -496,7 +496,18 @@ def _exact_proposals(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, p
         def cond(state):
             th_lp, th_ix, buf_tok, buf_lp, buf_valid, dead, covered, bcounts, it = state
             n_valid = buf_valid.sum(-1)
-            need = ~exempt & ~dead & ~covered & (n_valid < n_buf)
+            # A full buffer proves top-n_buf completeness ONLY if its minimum
+            # retained lp dominates every unexamined token (all <= th_lp, the
+            # consumed-prefix threshold).  The interval slab can fill the
+            # buffer with valid-but-low-lp tokens the LM sweep never reached;
+            # without the threshold check a higher-lp allowed token past the
+            # examined prefix would be silently dropped (found by review,
+            # round 3 -- see tests/test_exact_proposals.py::
+            # test_slab_filled_buffer_does_not_stop_lm_sweep).  An unexamined
+            # token tying buf-min exactly falls under the documented
+            # equal-score tie semantics (PARITY.md), so >= is sufficient.
+            complete = (n_valid >= n_buf) & (buf_lp[..., -1] >= th_lp)
+            need = ~exempt & ~dead & ~covered & ~complete
             return jnp.any(need) & (it * chunk < V)
 
         def body(state):
@@ -594,7 +605,7 @@ def resolve_window(window: int, num_beams: int, speculative: bool) -> int:
     return 32 if num_beams <= 16 else 128
 
 
-TOK_BITS = 17  # token-id field width in selection tie-break ids (vocab < 2^17)
+TOK_BITS = 17  # minimum token-id field width in selection tie-break ids
 
 
 def _top_by_score_then_id(score, tie_id, k: int):
@@ -621,12 +632,25 @@ def _top_by_score_then_id(score, tie_id, k: int):
     return out[..., :k]
 
 
-def _beam_tok_tie(flat_tok, ncand: int):
+def _beam_tok_tie(flat_tok, ncand: int, vocab: int):
     """Tie-break ids for a [B, K*ncand] candidate axis: (parent beam, token)
-    in dense mode's beam-major flat order."""
+    in dense mode's beam-major flat order.
+
+    The token field widens with the vocabulary (mT5/NLLB-class vocabs
+    exceed the 2^17 minimum; clipping there would collapse all high ids to
+    one tie id and silently corrupt the exact_ties order).  The packed key
+    must stay int32: beams x vocab beyond that range cannot be tie-packed.
+    """
+    bits = max(TOK_BITS, int(vocab - 1).bit_length())
+    n_parents = -(-flat_tok.shape[-1] // ncand)
+    if (n_parents << bits) > 2**31 - 1:
+        raise ValueError(
+            f"exact_ties tie ids need {bits} token bits x {n_parents} beams "
+            f"-- exceeds int32; reduce beams or disable exact_ties"
+        )
     parent = jnp.arange(flat_tok.shape[-1], dtype=jnp.int32) // ncand
-    tok = jnp.clip(flat_tok, 0, (1 << TOK_BITS) - 1)
-    return (parent << TOK_BITS) + tok
+    tok = jnp.clip(flat_tok, 0, (1 << bits) - 1)
+    return (parent << bits) + tok
 
 
 def _top_idx(cfg: DecodeConfig, score, tie_id, k: int):
@@ -658,7 +682,7 @@ def _dedup_mask(tokens):
     return ~dup
 
 
-def _select(cfg: DecodeConfig, cons_scores, uncons_scores, tokens, K):
+def _select(cfg: DecodeConfig, cons_scores, uncons_scores, tokens, K, vocab: int):
     """topk(2K) by constrained score + first-K-non-EOS continuation rule
     (``beam_search.py:301-320`` + scorer ``process`` at ``:658-695``)."""
     B = cons_scores.shape[0]
@@ -670,7 +694,7 @@ def _select(cfg: DecodeConfig, cons_scores, uncons_scores, tokens, K):
     # under exact_ties equal scores tie-break (beam, token)-ascending, the
     # dense mode's flat candidate order
     top_idx = _top_idx(
-        cfg, flat_cons, _beam_tok_tie(flat_tok, ncand), 2 * K
+        cfg, flat_cons, _beam_tok_tie(flat_tok, ncand, vocab), 2 * K
     )  # [B, 2K]
     top_cons = jnp.take_along_axis(flat_cons, top_idx, axis=-1)
     top_tok = jnp.take_along_axis(flat_tok, top_idx, axis=-1)
@@ -731,7 +755,7 @@ def _select_sample(cfg: DecodeConfig, cons_noprev, uncons_cum, tokens, eos_lp, k
     return c_tok, c_par, c_sco, c_fin, sel_tok, sel_parent, sel_sco, sel_fin
 
 
-def _select_diverse(cfg: DecodeConfig, cons_cum, tokens, K):
+def _select_diverse(cfg: DecodeConfig, cons_cum, tokens, K, vocab: int):
     """Group beam search with Hamming diversity (reference routes through HF
     ``group_beam_search`` with the FM processor appended,
     ``beam_search.py:447-454,523-532``).  No dual scoring in this mode: the
@@ -753,7 +777,7 @@ def _select_diverse(cfg: DecodeConfig, cons_cum, tokens, K):
 
         flat = sc.reshape(B, gs * ncand)
         flat_tok = tk.reshape(B, gs * ncand)
-        top_idx = _top_idx(cfg, flat, _beam_tok_tie(flat_tok, ncand), 2 * gs)
+        top_idx = _top_idx(cfg, flat, _beam_tok_tie(flat_tok, ncand, vocab), 2 * gs)
         top_sc = jnp.take_along_axis(flat, top_idx, -1)
         top_tok = jnp.take_along_axis(flat_tok, top_idx, -1)
         top_par = (top_idx // ncand).astype(jnp.int32) + g * gs
@@ -860,13 +884,16 @@ def constrained_beam_search(
                 key,
             )
         if cfg.num_groups > 1:
-            return _select_diverse(cfg, cons_noprev + beam_scores[..., None], tokens_c, K)
+            return _select_diverse(
+                cfg, cons_noprev + beam_scores[..., None], tokens_c, K, V
+            )
         return _select(
             cfg,
             cons_noprev + beam_scores[..., None],
             uncons_noprev + beam_scores[..., None],
             tokens_c,
             K,
+            V,
         )
 
     # ---- step 0: first constrained token (dense corpus mask) ------------

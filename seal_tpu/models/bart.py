@@ -61,11 +61,15 @@ def _attn_init(rng, d_model):
 def _layer_init(rng, cfg: BartConfig, cross: bool):
     n = 6 if cross else 4
     rngs = jax.random.split(rng, n)
+    # cross=True marks a decoder layer: its FFN width is decoder_ffn_dim
+    # (equal to encoder_ffn_dim on the stock configs, but asymmetric
+    # configs must not silently get encoder-width decoder FFNs)
+    ffn = cfg.decoder_ffn_dim if cross else cfg.encoder_ffn_dim
     p = {
         "self_attn": _attn_init(rngs[0], cfg.d_model),
         "self_attn_ln": _ln_init(cfg.d_model),
-        "fc1": _dense_init(rngs[1], cfg.d_model, cfg.encoder_ffn_dim),
-        "fc2": _dense_init(rngs[2], cfg.encoder_ffn_dim, cfg.d_model),
+        "fc1": _dense_init(rngs[1], cfg.d_model, ffn),
+        "fc2": _dense_init(rngs[2], ffn, cfg.d_model),
         "final_ln": _ln_init(cfg.d_model),
     }
     if cross:

@@ -36,7 +36,12 @@ class SEALDocument:
 
     @property
     def docid(self):
-        return self.fm_index.labels[self.idx]
+        # an index built without labels (supported, persists as None) still
+        # serves: fall back to the positional id so writers/serve workers
+        # don't die on the first result (reference crashes here too, but
+        # our serve CLI promises to survive)
+        labels = self.fm_index.labels
+        return labels[self.idx] if labels is not None else str(self.idx)
 
     def id(self):
         return self.idx

@@ -582,6 +582,8 @@ class SEALSearcher:
     def process_batch(self, inputs: Sequence[str], constrained_generation: bool = True):
         """Key generation for one query batch (reference retrieval.py:54-305)."""
         n_real = len(inputs)
+        if n_real == 0:
+            return
         if n_real < self.batch_size:
             # pad ragged final batches to the full batch shape so the jitted
             # decode/rescore programs keep one compiled signature
@@ -889,6 +891,8 @@ class SEALSearcher:
         if detokenize is None:
             detokenize = self.detokenize
         queries = list(queries)
+        if not queries:
+            return []
         batch_t0 = time.time()
         timer = PhaseTimer(enabled=True)
         timer_log = self.progress

@@ -167,3 +167,75 @@ def test_exact_topk_matches_lax_topk():
         assert i2.shape == (24, k)
         np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2)), k
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2)), k
+
+
+def test_slab_filled_buffer_does_not_stop_lm_sweep():
+    """A buffer filled by valid-but-low-lp slab tokens must NOT terminate
+    the LM sweep: completeness requires the buffer minimum to dominate the
+    unexamined lp region (round-3 review finding -- the loop previously
+    stopped on n_valid >= n_buf alone and dropped a higher-lp allowed
+    token past the examined prefix)."""
+    import jax.numpy as jnp
+
+    from seal_tpu.decoding.constrained import (
+        DecodeConfig,
+        SingleIndexOps,
+        _exact_proposals,
+    )
+
+    V = 30
+    # units [c, 10, x]: the interval of prefix [10] has 9 rows; the first 8
+    # BWT symbols are the low-lp continuations {11..14}, row 8 holds the
+    # high-lp continuation 15
+    units = [
+        (20, 11), (21, 12), (22, 13), (23, 14),
+        (24, 11), (25, 12), (26, 13), (27, 14),
+        (28, 15),
+    ]
+    doc = []
+    for c, x in units:
+        doc += [c, 10, x]
+    host = FMIndex()
+    host.initialize([doc])
+    dev = DeviceFMIndex.from_host(host, vocab=V)
+    ops = SingleIndexOps(dev)
+
+    lo, hi = host.get_range([10])
+    K = 2
+    # chunk = max(exact_chunk, 2 * n_buf) = 8 < interval size 9, window 4:
+    # round 0's slab enumerates 8 rows ({11..14} twice) and fills the
+    # 4-slot buffer before the LM sweep (whose top-8 are invalid tokens)
+    # reaches token 15 at LM rank 9
+    cfg = DecodeConfig(num_beams=K, exact_chunk=1, window=4)
+    B = 1
+    lp = np.full((B, K, V), -100.0, np.float32)
+    for i in range(8):
+        lp[:, :, i] = -1.0 - 0.01 * i  # LM top-8: tokens not in the corpus
+    lp[:, :, 15] = -2.0  # allowed, LM rank 9
+    for x in (11, 12, 13, 14):
+        lp[:, :, x] = -50.0 - x  # allowed, low lp (the slab flood)
+
+    lo_a = jnp.full((B, K), lo, jnp.int32)
+    hi_a = jnp.full((B, K), hi, jnp.int32)
+    buf_tok, buf_lp, buf_valid, _ = jax.jit(
+        lambda lp_, lo_, hi_, pc, fin, pl, et: _exact_proposals(
+            ops, cfg, lp_, lo_, hi_, pc, fin, pl, et
+        )
+    )(
+        jnp.asarray(lp),
+        lo_a,
+        hi_a,
+        jnp.full((B, K), hi - lo, jnp.int32),
+        jnp.zeros((B, K), bool),
+        jnp.asarray(lp[..., cfg.pad_token_id][..., None]),
+        jnp.full((B, K, 1), cfg.eos_token_id, jnp.int32),
+    )
+    got = {
+        int(t)
+        for t, v in zip(np.asarray(buf_tok)[0, 0], np.asarray(buf_valid)[0, 0])
+        if v
+    }
+    truth = set(
+        sorted(host.get_distinct(lo, hi), key=lambda t: -float(lp[0, 0, t]))[: 2 * K]
+    )
+    assert got == truth, (sorted(got), sorted(truth))
