@@ -239,3 +239,42 @@ def test_slab_filled_buffer_does_not_stop_lm_sweep():
         sorted(host.get_distinct(lo, hi), key=lambda t: -float(lp[0, 0, t]))[: 2 * K]
     )
     assert got == truth, (sorted(got), sorted(truth))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_lm_averse_corpus_matches_dense(setup, seed):
+    """Fuzz an LM-averse operating point: the corpus alphabet is biased
+    DOWN so every LM-preferred token is invalid and the slab floods the
+    buffer with low-lp valid tokens, while a handful of corpus tokens get a
+    mid-level bias.  Breadth coverage around the slab-termination fix --
+    the deterministic catcher for that bug is
+    test_slab_filled_buffer_does_not_stop_lm_sweep (this fuzz's random
+    interval orderings usually surface the mid tokens via the slab too,
+    so it passes either way)."""
+    import jax.numpy as jnp
+
+    cfg, params = setup
+    rng = np.random.default_rng(100 + seed)
+    corpus_alphabet = list(range(40, 70))
+    docs = [
+        [int(t) for t in rng.choice(corpus_alphabet, size=rng.integers(6, 20))] + [2]
+        for _ in range(25)
+    ]
+    host = FMIndex()
+    host.initialize(docs)
+    idx = DeviceFMIndex.from_host(host, vocab=96)
+    params2 = dict(params)
+    bias = np.zeros(96, np.float32)
+    bias[corpus_alphabet] = -8.0  # LM top ranks go to invalid tokens
+    mid = rng.choice(corpus_alphabet, size=4, replace=False)
+    bias[mid] = -2.0  # allowed, above the slab flood, below the invalid top
+    params2["final_logits_bias"] = params2["final_logits_bias"] + jnp.asarray(bias)
+    queries = [[0] + rng.integers(4, 90, size=4).tolist() + [2] for _ in range(2)]
+    ids, mask = pad_batch(queries, cfg.pad_token_id)
+    common = dict(num_beams=4, max_length=5, min_length=1, forced_bos_token_id=None)
+    loop = fm_index_generate(
+        cfg, params2, idx, ids, mask, top_m=8, window=4, exact_chunk=1, **common
+    )
+    dense = fm_index_generate(cfg, params2, idx, ids, mask, exact_mask=True, **common)
+    for ql, qd in zip(loop, dense):
+        assert _hyps_key(ql) == _hyps_key(qd)
