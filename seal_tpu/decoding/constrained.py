@@ -180,7 +180,12 @@ class DecodeConfig:
     disable_fm_index: bool = False
     top_m: int = 256  # speculative-mode candidates / sample-mode buffer size
     window: int = 128  # BWT rows enumerated per beam per step
-    exact_chunk: int = 64  # LM candidates validated per exact proposal round
+    exact_chunk: int = 128  # LM candidates validated per exact proposal round
+    # (128, not 64: since the slab-termination fix the loop must prove the
+    # buffer minimum dominates the unexamined lp region, and a wider round 0
+    # usually proves it immediately -- the validate chain is depth-bound, so
+    # extra lanes are near-free; 64 cost one extra round on ~half the steps
+    # and measured 2x slower on the bench-shaped CPU A/B)
     speculative: bool = False  # single approx round (round-1 mode); default
     #   is the exact proposal loop, which matches dense semantics bit-for-bit
     exact_mask: bool = False  # dense O(vocab) mask (parity mode)

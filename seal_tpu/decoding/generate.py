@@ -195,7 +195,7 @@ def fm_index_generate_async(
     forced_bos_token_id: Optional[int] = "default",
     top_m: int = 256,
     window: int = 0,  # 0 = auto (constrained.resolve_window)
-    exact_chunk: int = 64,
+    exact_chunk: int = 128,
     dense_chunk: int = 2048,
     speculative: bool = False,
     exact_mask: bool = False,

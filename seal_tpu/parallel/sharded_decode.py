@@ -230,7 +230,7 @@ def sharded_fm_index_generate(
         window=resolve_window(
             kwargs.pop("window", 0), num_beams, kwargs.get("speculative", False)
         ),
-        exact_chunk=kwargs.pop("exact_chunk", 64),
+        exact_chunk=kwargs.pop("exact_chunk", 128),
         dense_chunk=kwargs.pop("dense_chunk", 2048),
         speculative=kwargs.pop("speculative", False),
         exact_mask=kwargs.pop("exact_mask", False),
