@@ -1,0 +1,114 @@
+"""A/B-tune exact-proposal knobs on the real chip at the bench operating point.
+
+The exact proposal loop's cost profile is hardware-specific (TopK custom
+call vs rank-gather chains vs round count), and the CPU proxy has twice
+disagreed with the chip (round 3: the slab-termination fix measured 18%
+FASTER on CPU and 40% SLOWER on v5e).  This sweeps (exact_chunk,
+exact_loop_chunk, window) combos on the same corpus/model/query setup as
+bench.py and prints one JSON line per combo.
+
+Usage: python scripts/bench_tune.py [batch] [beam]
+Combos are listed in COMBOS below; edit and re-run.
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# (exact_chunk, exact_loop_chunk, window): window 0 = auto
+COMBOS = [
+    (128, 128, 0),
+    (64, 64, 0),
+    (64, 256, 0),
+    (96, 96, 0),
+]
+
+
+def main():
+    import jax
+
+    from seal_tpu.decoding.generate import fm_index_generate_async, pad_batch
+    from seal_tpu.index import FMIndex
+    from seal_tpu.index.device_index import DeviceFMIndex
+    from seal_tpu.models import bart, convert
+    from seal_tpu.models.config import bart_large
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    beam = int(sys.argv[2]) if len(sys.argv) > 2 else 15
+    length = 10
+
+    rng = np.random.default_rng(0)
+    n_docs, doc_len, vocab = 10_000, 120, 50265
+    zipf = rng.zipf(1.3, size=n_docs * doc_len)
+    tokens = (zipf % (vocab - 10) + 4).astype(np.int64).reshape(n_docs, doc_len)
+    docs = [row.tolist() + [2] for row in tokens]
+    host = FMIndex()
+    host.initialize(docs)
+    index = DeviceFMIndex.from_host(host, vocab=vocab)
+
+    cfg = dataclasses.replace(bart_large(), dtype="bfloat16")
+    params = bart.init_params(jax.random.PRNGKey(0), cfg)
+    unigram = np.bincount(tokens.ravel() % vocab, minlength=vocab).astype(np.float64)
+    log_unigram = np.log((unigram + 0.5) / (unigram.sum() + 0.5 * vocab))
+    params = dict(params)
+    params["final_logits_bias"] = params["final_logits_bias"] + 4.0 * (
+        log_unigram - log_unigram.mean()
+    ).astype(np.float32)
+    params = convert.apply_seal_logits_bias(params, cfg)
+
+    queries = [
+        [0] + rng.integers(4, vocab, size=12).tolist() + [2] for _ in range(batch)
+    ]
+    ids, mask = pad_batch(queries, cfg.pad_token_id)
+
+    ref_keys = None
+    for chunk, loop_chunk, window in COMBOS:
+        def dispatch():
+            return fm_index_generate_async(
+                cfg, params, index, ids, mask,
+                num_beams=beam, max_length=length, min_length=length - 1,
+                forced_bos_token_id=None,
+                exact_chunk=chunk, exact_loop_chunk=loop_chunk, window=window,
+            )
+
+        t0 = time.time()
+        out = dispatch()()
+        compile_s = time.time() - t0
+        # sync timing
+        ts = []
+        for _ in range(2):
+            t0 = time.time()
+            out = dispatch()()
+            ts.append(time.time() - t0)
+        per = float(np.median(ts))
+        # pipelined timing
+        t0 = time.time()
+        pending = None
+        n_pipe = 4
+        for _ in range(n_pipe):
+            nxt = dispatch()
+            if pending is not None:
+                pending()
+            pending = nxt
+        pending()
+        pipe = (time.time() - t0) / n_pipe
+        keys = sorted((b, s, tuple(t)) for b, hyps in enumerate(out) for s, t in hyps)
+        if ref_keys is None:
+            ref_keys = keys
+        print(json.dumps({
+            "exact_chunk": chunk, "exact_loop_chunk": loop_chunk, "window": window,
+            "sync_qps": round(batch / per, 1), "pipe_qps": round(batch / pipe, 1),
+            "s_per_batch": round(per, 4), "pipe_s_per_batch": round(pipe, 4),
+            "compile_s": round(compile_s, 1),
+            "outputs_match_first_combo": keys == ref_keys,
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -180,12 +180,19 @@ class DecodeConfig:
     disable_fm_index: bool = False
     top_m: int = 256  # speculative-mode candidates / sample-mode buffer size
     window: int = 128  # BWT rows enumerated per beam per step
-    exact_chunk: int = 128  # LM candidates validated per exact proposal round
-    # (128, not 64: since the slab-termination fix the loop must prove the
-    # buffer minimum dominates the unexamined lp region, and a wider round 0
-    # usually proves it immediately -- the validate chain is depth-bound, so
-    # extra lanes are near-free; 64 cost one extra round on ~half the steps
-    # and measured 2x slower on the bench-shaped CPU A/B)
+    exact_chunk: int = 64  # LM candidates validated in exact proposal round 0
+    # (64 again: the post-selection soundness proof (_fast_exact_select)
+    # makes a failed per-beam round-0 proof harmless unless the beam's
+    # missed-token bound reaches the selection cutoff, so round 0 no longer
+    # needs to over-sweep; v5e A/B (scripts/bench_tune.py, round 3):
+    # 64 -> 144.6 q/s sync vs 128 -> 100.1 at the bench config)
+    exact_loop_chunk: int = 0  # LM candidates per straggler round (0 = auto).
+    # Rounds past 0 exist only for beams whose round-0 proof failed (fewer
+    # than 2K allowed tokens among the top-exact_chunk LM candidates, with
+    # the interval not yet slab-covered); one straggler beam costs a whole
+    # extra round, so these rounds sweep a much wider chunk to finish in
+    # one shot -- the per-lane cost is small (the validate chain is
+    # depth-bound) next to the cost of an additional round.
     speculative: bool = False  # single approx round (round-1 mode); default
     #   is the exact proposal loop, which matches dense semantics bit-for-bit
     exact_mask: bool = False  # dense O(vocab) mask (parity mode)
@@ -290,15 +297,9 @@ def _candidates_general(
         return _apply_branches(cfg, tokens, fm_valid, top_lp, prev_count, finished)
 
     # --- loop-invariant candidate slots ------------------------------------
-    # exhaustive small-interval window
-    win_tok, win_valid = ops.window(lo, hi, cfg.window)
-    win_tok = jnp.where(win_valid, win_tok, cfg.pad_token_id).astype(jnp.int32)
-    win_lp = jnp.take_along_axis(lp, win_tok.astype(jnp.int32), axis=-1)
-    # explicit EOS slot (PAD is in no corpus; EOS handled by branches)
-    eos_tok = jnp.full((B, K, 1), cfg.eos_token_id, jnp.int32)
-    eos_lp = lp[..., cfg.eos_token_id][..., None]
-    pad_tok = jnp.full((B, K, 1), cfg.pad_token_id, jnp.int32)
-    pad_lp = lp[..., cfg.pad_token_id][..., None]
+    (win_tok, win_valid, win_lp, eos_tok, eos_lp, pad_tok, pad_lp) = _exact_slots(
+        ops, cfg, lp, lo, hi
+    )
 
     if cfg.speculative:
         # round-1 mode: one approximate proposal round.  approx_max_k rides
@@ -324,6 +325,21 @@ def _candidates_general(
     # via the packed sort key (_pack_desc), matching dense mode's
     # token-indexed candidate axis whichever slot discovered a token
     return _apply_branches(cfg, tokens, fm_valid, cand_lp, prev_count, finished)
+
+
+def _exact_slots(ops, cfg: DecodeConfig, lp, lo, hi):
+    """Loop-invariant candidate slots shared by every proposal path:
+    the exhaustive small-interval window plus explicit EOS/PAD slots
+    (PAD is in no corpus; EOS is handled by the branch logic)."""
+    B, K = lo.shape
+    win_tok, win_valid = ops.window(lo, hi, cfg.window)
+    win_tok = jnp.where(win_valid, win_tok, cfg.pad_token_id).astype(jnp.int32)
+    win_lp = jnp.take_along_axis(lp, win_tok, axis=-1)
+    eos_tok = jnp.full((B, K, 1), cfg.eos_token_id, jnp.int32)
+    eos_lp = lp[..., cfg.eos_token_id][..., None]
+    pad_tok = jnp.full((B, K, 1), cfg.pad_token_id, jnp.int32)
+    pad_lp = lp[..., cfg.pad_token_id][..., None]
+    return win_tok, win_valid, win_lp, eos_tok, eos_lp, pad_tok, pad_lp
 
 
 def _exact_topk(x, k: int, blk: int = 64):
@@ -356,7 +372,10 @@ def _exact_topk(x, k: int, blk: int = 64):
     return v, jnp.take_along_axis(cols, i, axis=-1)
 
 
-def _exact_proposals(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, pad_lp, eos_tok):
+def _exact_proposals(
+    ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, pad_lp, eos_tok,
+    round0_only: bool = False,
+):
     """Per beam, the ``n_buf`` best *allowed* tokens by LM log-prob -- exact.
 
     Round 0 is HOISTED out of the while loop (it skips the consumed-prefix
@@ -397,6 +416,10 @@ def _exact_proposals(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, p
     # a chunk must be able to fill the buffer in one round at realistic
     # validation rates; n_buf == chunk would demand a perfect round
     chunk = min(V, max(cfg.exact_chunk, 2 * n_buf))
+    # straggler rounds sweep wider: the proof they need (n_buf allowed
+    # tokens above the consumed threshold, or a covered interval) is far
+    # likelier per round, and lane cost is cheap next to round count
+    chunk_l = min(V, max(cfg.exact_loop_chunk or 4 * chunk, chunk))
 
     count_eff = jnp.where(finished, 0, prev_count)
     stop_trig = (cfg.stop_at_count > 0) & (count_eff <= cfg.stop_at_count)
@@ -424,19 +447,20 @@ def _exact_proposals(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, p
 
         return lax.cond(it >= 1, pruned, lambda _: lp, bcounts)
 
-    def merge_round(buf_tok, buf_lp, buf_valid, top_tok, top_lp, valid, it):
-        # Interval slab: round ``it`` also enumerates the interval's BWT rows
-        # [lo + it*chunk, lo + (it+1)*chunk) directly (every symbol there IS
-        # an allowed continuation -- no validation needed).  A beam whose
-        # interval has fewer than n_buf distinct continuations can never fill
-        # the buffer from the LM sweep; the slab guarantees it terminates in
-        # ceil(interval/chunk) rounds with the provably complete distinct set
+    def merge_round(buf_tok, buf_lp, buf_valid, top_tok, top_lp, valid, rows_prev, width):
+        # Interval slab: each round also enumerates ``width`` of the
+        # interval's own BWT rows [lo + rows_prev, lo + rows_prev + width)
+        # directly (every symbol there IS an allowed continuation -- no
+        # validation needed).  A beam whose interval has fewer than n_buf
+        # distinct continuations can never fill the buffer from the LM
+        # sweep; the slab guarantees it terminates once the interval is
+        # fully enumerated, with the provably complete distinct set,
         # instead of grinding through its whole bucket-support footprint
         # (the beam-32 pathological case: many rows, few distinct symbols,
         # none of them LM-likely).
-        s_lo = jnp.minimum(lo + it * chunk, hi)
-        s_hi = jnp.minimum(s_lo + chunk, hi)
-        slab_tok, slab_ok = ops.window(s_lo, s_hi, chunk)
+        s_lo = jnp.minimum(lo + rows_prev, hi)
+        s_hi = jnp.minimum(s_lo + width, hi)
+        slab_tok, slab_ok = ops.window(s_lo, s_hi, width)
         slab_tok = jnp.where(slab_ok, slab_tok, 0).astype(jnp.int32)
         slab_lp = jnp.take_along_axis(lp, slab_tok, axis=-1)
         slab_ok = slab_ok & (slab_lp > NEG_INF / 2)
@@ -468,7 +492,7 @@ def _exact_proposals(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, p
             jnp.take_along_axis(all_valid & fresh, keep, -1),
         )
 
-    def run_proposals(_):
+    def round0_state():
         # ---- hoisted round 0: raw distribution, EOS column piggybacked --
         # (membership, not counts: ops.contains is ONE binary-search chain
         # on the Psi layout -- half the rank-gather traffic, the dominant
@@ -483,7 +507,7 @@ def _exact_proposals(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, p
         eos_ok = ok0[..., chunk:]
         valid0 = ok0[..., :chunk] & (top_lp0 > NEG_INF / 2)
         buf_tok, buf_lp, buf_valid = merge_round(
-            buf_tok, buf_lp, buf_valid, top_tok0, top_lp0, valid0, 0
+            buf_tok, buf_lp, buf_valid, top_tok0, top_lp0, valid0, 0, chunk
         )
         # Consumed-prefix threshold: every round consumes a further prefix of
         # the per-beam (lp desc, token asc) order -- lax.top_k's exact
@@ -497,6 +521,14 @@ def _exact_proposals(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, p
         dead0 = top_lp0[..., 0] <= NEG_INF / 2  # proposal space exhausted
         covered0 = ops.interval_covered(lo, hi, chunk)
         bc0 = jnp.zeros((B, K, ops.n_buckets()), jnp.int32)
+        state = (
+            th_lp0, th_ix0, buf_tok, buf_lp, buf_valid, dead0, covered0, bc0,
+            jnp.int32(1),
+        )
+        return state, eos_ok
+
+    def run_proposals(_):
+        state, eos_ok = round0_state()
 
         def cond(state):
             th_lp, th_ix, buf_tok, buf_lp, buf_valid, dead, covered, bcounts, it = state
@@ -513,7 +545,9 @@ def _exact_proposals(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, p
             # equal-score tie semantics (PARITY.md), so >= is sufficient.
             complete = (n_valid >= n_buf) & (buf_lp[..., -1] >= th_lp)
             need = ~exempt & ~dead & ~covered & ~complete
-            return jnp.any(need) & (it * chunk < V)
+            # backstop: stop once the LM sweep has examined the whole vocab
+            # (the dead flag normally fires first)
+            return jnp.any(need) & (chunk + (it - 1) * chunk_l < V)
 
         def body(state):
             th_lp, th_ix, buf_tok, buf_lp, buf_valid, dead, covered, bcounts, it = state
@@ -525,26 +559,23 @@ def _exact_proposals(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, p
                 (base == th_lp[..., None]) & (v_idx <= th_ix[..., None])
             )
             work = jnp.where(consumed, NEG_INF, base)
-            top_lp, top_tok = lax.top_k(work.reshape(B * K, V), chunk)
-            top_tok = top_tok.reshape(B, K, chunk).astype(jnp.int32)
-            top_lp = top_lp.reshape(B, K, chunk)
+            top_lp, top_tok = lax.top_k(work.reshape(B * K, V), chunk_l)
+            top_tok = top_tok.reshape(B, K, chunk_l).astype(jnp.int32)
+            top_lp = top_lp.reshape(B, K, chunk_l)
             ok = ops.contains(top_tok, lo, hi)
             # exhausted slots carry NEG_INF; exclude them (and true -inf logits)
             valid = ok & (top_lp > NEG_INF / 2)
+            rows_prev = chunk + (it - 1) * chunk_l  # slab rows already enumerated
             buf_tok, buf_lp, buf_valid = merge_round(
-                buf_tok, buf_lp, buf_valid, top_tok, top_lp, valid, it
+                buf_tok, buf_lp, buf_valid, top_tok, top_lp, valid, rows_prev, chunk_l
             )
             th_lp = top_lp[..., -1]
             th_ix = top_tok[..., -1]
             # nothing proposable remains once the chunk's best slot is exhausted
             dead = top_lp[..., 0] <= NEG_INF / 2
-            covered = ops.interval_covered(lo, hi, (it + 1) * chunk)
+            covered = ops.interval_covered(lo, hi, rows_prev + chunk_l)
             return th_lp, th_ix, buf_tok, buf_lp, buf_valid, dead, covered, bcounts, it + 1
 
-        state = (
-            th_lp0, th_ix0, buf_tok, buf_lp, buf_valid, dead0, covered0, bc0,
-            jnp.int32(1),
-        )
         _, _, buf_tok, buf_lp, buf_valid, _, _, _, _ = lax.while_loop(cond, body, state)
         return buf_tok, buf_lp, buf_valid, eos_ok
 
@@ -565,6 +596,35 @@ def _exact_proposals(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, p
             ops.contains(eos_tok, lo, hi),
         )
 
+    if round0_only:
+        # One proposal round, no proof loop.  Returns (buf, eos_ok, need,
+        # th_lp): ``need`` marks beams whose buffer is NOT proven complete
+        # -- every token such a beam might still be missing has
+        # lp <= th_lp, so the caller can check post-selection whether any
+        # missed token could have reached the global top-2K cutoff and
+        # fall back to the full loop only then (_fast_step_candidates).
+        def fast0(_):
+            state, eos_ok = round0_state()
+            th_lp, _, buf_tok, buf_lp, buf_valid, dead, covered, _, _ = state
+            complete = (buf_valid.sum(-1) >= n_buf) & (buf_lp[..., -1] >= th_lp)
+            need = ~exempt & ~dead & ~covered & ~complete
+            return buf_tok, buf_lp, buf_valid, eos_ok, need, th_lp
+
+        def skip0(_):
+            bt, bl, bv, eo = skip_proposals(None)
+            return (
+                bt, bl, bv, eo,
+                jnp.zeros((B, K), bool),
+                jnp.full((B, K), NEG_INF, jnp.float32),
+            )
+
+        buf_tok, buf_lp, buf_valid, eos_ok, need, th_lp = lax.cond(
+            jnp.any(~exempt), fast0, skip0, None
+        )
+        buf_tok = jnp.where(buf_valid, buf_tok, cfg.pad_token_id)
+        buf_lp = jnp.where(buf_valid, buf_lp, pad_lp)
+        return buf_tok, buf_lp, buf_valid, eos_ok, need, th_lp
+
     buf_tok, buf_lp, buf_valid, eos_ok = lax.cond(
         jnp.any(~exempt), run_proposals, skip_proposals, None
     )
@@ -574,6 +634,75 @@ def _exact_proposals(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, p
     buf_tok = jnp.where(buf_valid, buf_tok, cfg.pad_token_id)
     buf_lp = jnp.where(buf_valid, buf_lp, pad_lp)
     return buf_tok, buf_lp, buf_valid, eos_ok
+
+
+def _fast_exact_select(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, beam_scores, K, V):
+    """One proposal round + selection, with a post-selection soundness proof.
+
+    The full exact loop proves per-beam buffer completeness BEFORE
+    selection, which forces extra sweep rounds whenever fewer than 2K of a
+    beam's top-``exact_chunk`` LM tokens are allowed -- measured 40% of
+    the decode step at the bench config (round 3).  But per-beam
+    completeness is stronger than what selection needs: a beam's missed
+    tokens all score ``<= beam_score + th_lp`` (every unexamined or
+    evicted token sits at or below the consumed-prefix threshold), so if
+    that bound falls strictly below the global 2K-th selected constrained
+    score, the missed tokens could never have been selected and the
+    round-0 candidate set was sufficient.  Only when some unproven beam's
+    bound reaches the cutoff (or ties it -- tie order must match the
+    dense mode's) does the full proof loop run, under ``lax.cond``.
+
+    Bit-identical to the dense reference semantics: the fast branch is
+    taken only when provably equal; everything else falls back to the
+    proven-exact loop.  Replaces the reference's per-step
+    ``interval_symbols`` masks (``fm_index.cpp:78-131``).
+    """
+    B = lo.shape[0]
+    lp3 = lp.reshape(B, K, V)
+    (win_tok, win_valid, win_lp, eos_tok, eos_lp, pad_tok, pad_lp) = _exact_slots(
+        ops, cfg, lp3, lo, hi
+    )
+
+    def build_and_select(buf_tok, buf_lp, buf_valid, eos_ok):
+        tokens = jnp.concatenate([buf_tok, win_tok, eos_tok, pad_tok], -1)
+        fm_valid = jnp.concatenate(
+            [buf_valid, win_valid, eos_ok, jnp.zeros((B, K, 1), bool)], -1
+        )
+        cand_lp = jnp.concatenate([buf_lp, win_lp, eos_lp, pad_lp], -1)
+        tokens, allowed, cand_lp = _apply_branches(
+            cfg, tokens, fm_valid, cand_lp, prev_count, finished
+        )
+        cons = jnp.where(allowed, cand_lp, NEG_INF)
+        # proposal slots can repeat a window token; duplicates carry
+        # identical scores, keep one per token id
+        keep = _dedup_mask(tokens)
+        cons = jnp.where(keep, cons, NEG_INF)
+        return _select(
+            cfg,
+            cons + beam_scores[..., None],
+            cand_lp + beam_scores[..., None],
+            tokens,
+            K,
+            V,
+        )
+
+    buf_tok, buf_lp, buf_valid, eos_ok, need, th_lp = _exact_proposals(
+        ops, cfg, lp3, lo, hi, prev_count, finished, pad_lp, eos_tok,
+        round0_only=True,
+    )
+    fast = build_and_select(buf_tok, buf_lp, buf_valid, eos_ok)
+    s_star = fast[8][:, -1]  # global 2K-th selected constrained score
+    # ``>=``: an exact tie between a missed token and the cutoff would make
+    # tie resolution depend on the sweep schedule -- fall back instead
+    unsound = need & (beam_scores + th_lp >= s_star[:, None])
+
+    def full_path(_):
+        bt, bl, bv, eo = _exact_proposals(
+            ops, cfg, lp3, lo, hi, prev_count, finished, pad_lp, eos_tok
+        )
+        return build_and_select(bt, bl, bv, eo)[:8]
+
+    return lax.cond(jnp.any(unsound), full_path, lambda _: fast[:8], None)
 
 
 def _apply_branches(cfg: DecodeConfig, tokens, fm_valid, cand_lp, prev_count, finished):
@@ -724,6 +853,8 @@ def _select(cfg: DecodeConfig, cons_scores, uncons_scores, tokens, K, vocab: int
         sel_parent,
         sel_uncons,
         sel_finite,
+        top_cons,  # [B, 2K] constrained scores of the selected set, desc;
+        #   top_cons[:, -1] is the selection cutoff the fast step checks
     )
 
 
@@ -899,7 +1030,7 @@ def constrained_beam_search(
             tokens_c,
             K,
             V,
-        )
+        )[:8]
 
     # ---- step 0: first constrained token (dense corpus mask) ------------
     start_col = 1 if cfg.forced_bos_token_id is None else 2
@@ -957,19 +1088,35 @@ def constrained_beam_search(
 
         finished = (last == cfg.eos_token_id) | (last == cfg.pad_token_id)
         finished = finished.reshape(B, K)
-        cand_tok, allowed, cand_lp = _candidates_general(
-            ops, cfg, lp, lo, hi, prev_count, finished
+        fast_exact = not (
+            cfg.exact_mask
+            or cfg.disable_fm_index
+            or cfg.speculative
+            or cfg.sample
+            or cfg.num_groups > 1
         )
-        cons = jnp.where(allowed, cand_lp, NEG_INF)
-        if not (cfg.exact_mask or cfg.disable_fm_index):
-            # speculative candidates can repeat a token (top-M vs window);
-            # duplicates carry identical scores, keep one per token id
-            keep = _dedup_mask(cand_tok)
-            cons = jnp.where(keep, cons, NEG_INF)
+        if fast_exact:
+            # the production path: round-0 proposals + post-selection
+            # soundness proof, full loop only on (rare) unsound steps
+            (c_tok, c_par, c_sco, c_fin, sel_tok, sel_par, new_beam_scores, sel_fin) = (
+                _fast_exact_select(
+                    ops, cfg, lp, lo, hi, prev_count, finished, beam_scores, K, V
+                )
+            )
+        else:
+            cand_tok, allowed, cand_lp = _candidates_general(
+                ops, cfg, lp, lo, hi, prev_count, finished
+            )
+            cons = jnp.where(allowed, cand_lp, NEG_INF)
+            if not (cfg.exact_mask or cfg.disable_fm_index):
+                # speculative candidates can repeat a token (top-M vs window);
+                # duplicates carry identical scores, keep one per token id
+                keep = _dedup_mask(cand_tok)
+                cons = jnp.where(keep, cons, NEG_INF)
 
-        (c_tok, c_par, c_sco, c_fin, sel_tok, sel_par, new_beam_scores, sel_fin) = (
-            dispatch_select(cons, cand_lp, cand_tok, beam_scores, step_key)
-        )
+            (c_tok, c_par, c_sco, c_fin, sel_tok, sel_par, new_beam_scores, sel_fin) = (
+                dispatch_select(cons, cand_lp, cand_tok, beam_scores, step_key)
+            )
         # candidates of tainted (back-filled) parents are ungrounded noise:
         # the reference records them and relies on the searcher's count
         # filter (retrieval.py:91); we drop them at the source

@@ -230,7 +230,8 @@ def sharded_fm_index_generate(
         window=resolve_window(
             kwargs.pop("window", 0), num_beams, kwargs.get("speculative", False)
         ),
-        exact_chunk=kwargs.pop("exact_chunk", 128),
+        exact_chunk=kwargs.pop("exact_chunk", 64),
+        exact_loop_chunk=kwargs.pop("exact_loop_chunk", 0),
         dense_chunk=kwargs.pop("dense_chunk", 2048),
         speculative=kwargs.pop("speculative", False),
         exact_mask=kwargs.pop("exact_mask", False),

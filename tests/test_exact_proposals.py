@@ -241,6 +241,66 @@ def test_slab_filled_buffer_does_not_stop_lm_sweep():
     assert got == truth, (sorted(got), sorted(truth))
 
 
+def test_fast_select_falls_back_when_missed_token_reaches_cutoff():
+    """The round-0 fast path must detect that an unproven beam's missed
+    tokens could reach the global selection cutoff and fall back to the
+    full proof loop: same adversarial shape as the slab-filled test (the
+    high-lp allowed token sits past the examined prefix while the slab
+    floods the buffer), but driven through ``_fast_exact_select`` -- the
+    selected candidate set must contain the missed token, exactly as the
+    dense mode would select it."""
+    import jax.numpy as jnp
+
+    from seal_tpu.decoding.constrained import (
+        DecodeConfig,
+        SingleIndexOps,
+        _fast_exact_select,
+    )
+
+    V = 30
+    units = [
+        (20, 11), (21, 12), (22, 13), (23, 14),
+        (24, 11), (25, 12), (26, 13), (27, 14),
+        (28, 15),
+    ]
+    doc = []
+    for c, x in units:
+        doc += [c, 10, x]
+    host = FMIndex()
+    host.initialize([doc])
+    dev = DeviceFMIndex.from_host(host, vocab=V)
+    ops = SingleIndexOps(dev)
+
+    lo, hi = host.get_range([10])
+    K = 2
+    cfg = DecodeConfig(num_beams=K, exact_chunk=1, window=4)
+    B = 1
+    lp = np.full((B, K, V), -100.0, np.float32)
+    for i in range(8):
+        lp[:, :, i] = -1.0 - 0.01 * i  # LM top-8: tokens not in the corpus
+    lp[:, :, 15] = -2.0  # allowed, LM rank 9 -- past round 0's prefix
+    for x in (11, 12, 13, 14):
+        lp[:, :, x] = -50.0 - x  # allowed, low lp (the slab flood)
+
+    out = jax.jit(
+        lambda lp_, lo_, hi_, pc, fin, bs: _fast_exact_select(
+            ops, cfg, lp_.reshape(B * K, V), lo_, hi_, pc, fin, bs, K, V
+        )
+    )(
+        jnp.asarray(lp),
+        jnp.full((B, K), lo, jnp.int32),
+        jnp.full((B, K), hi, jnp.int32),
+        jnp.full((B, K), hi - lo, jnp.int32),
+        jnp.zeros((B, K), bool),
+        jnp.zeros((B, K), jnp.float32),
+    )
+    c_tok, _, c_sco, c_fin = (np.asarray(x) for x in out[:4])
+    selected = {int(t) for t, f in zip(c_tok[0], c_fin[0]) if f}
+    # dense semantics: global top-2K by cons = beam(0) + lp; with both
+    # beams identical, that is {15 (lp -2), 11 (lp -61)} per beam
+    assert 15 in selected, (selected, c_tok, c_sco)
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_lm_averse_corpus_matches_dense(setup, seed):
     """Fuzz an LM-averse operating point: the corpus alphabet is biased
