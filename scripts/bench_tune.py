@@ -23,10 +23,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # (exact_chunk, exact_loop_chunk, window): window 0 = auto
 COMBOS = [
-    (128, 128, 0),
-    (64, 64, 0),
-    (64, 256, 0),
-    (96, 96, 0),
+    (64, 0, 0),
+    (32, 0, 0),
+    (48, 0, 0),
+    (96, 0, 0),
+    (64, 0, 16),
+    (64, 0, 64),
 ]
 
 
@@ -98,15 +100,25 @@ def main():
             pending = nxt
         pending()
         pipe = (time.time() - t0) / n_pipe
+        # `out` is the last SYNC run; the pipelined dispatches share the same
+        # jitted program + inputs, so this also covers them.  The first combo
+        # defines the baseline key set; later combos compare against it.
+        # NOTE: on TPU this comparison is subject to cross-program bf16
+        # drift -- each combo compiles a different HLO, fusion choices in
+        # the MODEL forward change logit rounding, and near-tied keys can
+        # swap (verified round 4: the same combos match exactly on CPU
+        # f32).  Constraint exactness at EQUAL model numerics is what the
+        # dense differentials in tests/ guarantee.
         keys = sorted((b, s, tuple(t)) for b, hyps in enumerate(out) for s, t in hyps)
-        if ref_keys is None:
+        is_baseline = ref_keys is None
+        if is_baseline:
             ref_keys = keys
         print(json.dumps({
             "exact_chunk": chunk, "exact_loop_chunk": loop_chunk, "window": window,
             "sync_qps": round(batch / per, 1), "pipe_qps": round(batch / pipe, 1),
             "s_per_batch": round(per, 4), "pipe_s_per_batch": round(pipe, 4),
             "compile_s": round(compile_s, 1),
-            "outputs_match_first_combo": keys == ref_keys,
+            "outputs_match_first_combo": "baseline" if is_baseline else keys == ref_keys,
         }), flush=True)
 
 

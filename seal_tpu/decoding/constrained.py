@@ -242,6 +242,11 @@ class BeamSearchOutput:
     #   first-K-non-EOS rule back-fills beams from -inf candidates; the
     #   reference emits those too and relies on the searcher's count filter,
     #   retrieval.py:91 -- we drop them at extraction)
+    fallback_steps: Any = None  # int32 []  decode steps whose fast round-0
+    #   soundness proof failed and ran the full proposal loop
+    #   (constrained.py::_fast_exact_select); 0 outside the fast-exact mode.
+    #   Pure diagnostics -- a corpus shape that falls back every step shows
+    #   up as a throughput regression with no other signal (round-3 review).
 
 
 def _log_softmax(logits):
@@ -291,8 +296,12 @@ def _candidates_general(
 
     if cfg.disable_fm_index:
         # free generation must reproduce exact beam search: use exact top-k
-        top_lp, top_tok = lax.top_k(lp, cfg.top_m)
-        tokens = top_tok.astype(jnp.int32)
+        # (block-decomposed; bit-identical to lax.top_k, see _exact_topk)
+        top_lp, top_tok = _exact_topk(
+            lp.reshape(B * K, V), cfg.top_m, blk=32, assume_finite=True
+        )
+        tokens = top_tok.reshape(B, K, -1).astype(jnp.int32)
+        top_lp = top_lp.reshape(B, K, -1)
         fm_valid = jnp.ones(tokens.shape, bool)
         return _apply_branches(cfg, tokens, fm_valid, top_lp, prev_count, finished)
 
@@ -342,7 +351,7 @@ def _exact_slots(ops, cfg: DecodeConfig, lp, lo, hi):
     return win_tok, win_valid, win_lp, eos_tok, eos_lp, pad_tok, pad_lp
 
 
-def _exact_topk(x, k: int, blk: int = 64):
+def _exact_topk(x, k: int, blk: int = 64, assume_finite: bool = False):
     """``lax.top_k(x, k)`` with identical (value desc, index asc) tie
     semantics via exact block-max pre-selection: every block containing a
     true top-k element has block-max >= the k-th value, so the k best
@@ -350,26 +359,47 @@ def _exact_topk(x, k: int, blk: int = 64):
     the exact top-k set, and gathering the chosen blocks in ascending
     index order preserves the global tie-break.  ``x`` must be NaN-free.
 
-    Measured on v5e (round 3): the take_along_axis block gather costs
-    MORE than the TopK custom call it avoids (constrained decode 317 ->
-    404 ms/batch), so the decode paths keep plain lax.top_k; this stays
-    as a tested primitive for gather-friendlier future layouts.
+    The chosen blocks are gathered with a one-hot f32 matmul (exact: one
+    unit coefficient per output row, and adding zeros never rounds), which
+    rides the MXU instead of the scalar-gather path -- measured on v5e at
+    the bench shape [480, 50265] k=64: 2.7 ms vs 6.3 ms for the TPU TopK
+    custom call (an earlier take_along_axis column gather was SLOWER than
+    TopK, which is why round 3 shelved this primitive).  ``assume_finite``
+    skips the -inf restore pass for callers whose input provably contains
+    no -inf (log-softmax outputs): -inf entries are clamped to
+    ``float32.min`` for the matmul (0 * -inf would poison sums with NaN)
+    and mapped back afterwards.
     """
     V = x.shape[-1]
     nb = -(-V // blk)
     if k * blk * 2 >= V or x.ndim != 2:
         return lax.top_k(x, k)
+    fmin = float(np.finfo(np.float32).min)
+    xs = x if assume_finite else jnp.maximum(x, fmin)
     pad = nb * blk - V
-    xp = jnp.pad(x, ((0, 0), (0, pad)), constant_values=-np.inf) if pad else x
-    bm = jnp.max(xp.reshape(-1, nb, blk), axis=-1)
+    xp = jnp.pad(xs, ((0, 0), (0, pad)), constant_values=fmin) if pad else xs
+    xblk = xp.reshape(-1, nb, blk)
+    bm = jnp.max(xblk, axis=-1)
     _, bidx = lax.top_k(bm, k)
     bidx = jnp.sort(bidx, axis=-1)
+    onehot = (bidx[:, :, None] == jnp.arange(nb, dtype=jnp.int32)).astype(jnp.float32)
+    g = lax.dot_general(
+        onehot,
+        xblk,
+        (((2,), (1,)), ((0,), (0,))),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # [rows, k, blk] == xblk[r, bidx[r, :], :], exactly
     cols = (bidx[:, :, None] * blk + jnp.arange(blk, dtype=bidx.dtype)).reshape(
         x.shape[0], k * blk
     )
-    vals = jnp.take_along_axis(xp, cols, axis=-1)
-    v, i = lax.top_k(vals, k)
-    return v, jnp.take_along_axis(cols, i, axis=-1)
+    v, i = lax.top_k(g.reshape(x.shape[0], k * blk), k)
+    idx = jnp.take_along_axis(cols, i, axis=-1)
+    if not assume_finite:
+        # clamped -inf entries sort identically (nothing is below fmin) but
+        # must report their true value: re-read the k winners from x
+        v = jnp.take_along_axis(x, idx, axis=-1)
+    return v, idx
 
 
 def _exact_proposals(
@@ -500,7 +530,12 @@ def _exact_proposals(
         buf_tok = jnp.full((B, K, n_buf), 0, jnp.int32)
         buf_lp = jnp.full((B, K, n_buf), NEG_INF, jnp.float32)
         buf_valid = jnp.zeros((B, K, n_buf), bool)
-        top_lp0, top_tok0 = lax.top_k(lp.reshape(B * K, V), chunk)
+        # block-decomposed exact top-k (bit-identical to lax.top_k, ~2.6x
+        # faster at vocab scale on v5e); lp is a log-softmax output, hence
+        # -inf-free
+        top_lp0, top_tok0 = _exact_topk(
+            lp.reshape(B * K, V), chunk, blk=32, assume_finite=True
+        )
         top_tok0 = top_tok0.reshape(B, K, chunk).astype(jnp.int32)
         top_lp0 = top_lp0.reshape(B, K, chunk)
         ok0 = ops.contains(jnp.concatenate([top_tok0, eos_tok], -1), lo, hi)
@@ -602,7 +637,7 @@ def _exact_proposals(
         # -- every token such a beam might still be missing has
         # lp <= th_lp, so the caller can check post-selection whether any
         # missed token could have reached the global top-2K cutoff and
-        # fall back to the full loop only then (_fast_step_candidates).
+        # fall back to the full loop only then (_fast_exact_select).
         def fast0(_):
             state, eos_ok = round0_state()
             th_lp, _, buf_tok, buf_lp, buf_valid, dead, covered, _, _ = state
@@ -697,12 +732,19 @@ def _fast_exact_select(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished,
     unsound = need & (beam_scores + th_lp >= s_star[:, None])
 
     def full_path(_):
+        # The full proof loop re-runs round 0 from scratch: its
+        # consumed-prefix threshold state must come from ITS OWN exact
+        # sweep, and seeding it with the fast branch's buffers would couple
+        # the two proposal schedules for a path that fires on a small
+        # minority of steps (see ``fallback_steps`` in BeamSearchOutput --
+        # the observability for exactly this).
         bt, bl, bv, eo = _exact_proposals(
             ops, cfg, lp3, lo, hi, prev_count, finished, pad_lp, eos_tok
         )
         return build_and_select(bt, bl, bv, eo)[:8]
 
-    return lax.cond(jnp.any(unsound), full_path, lambda _: fast[:8], None)
+    any_unsound = jnp.any(unsound)
+    return lax.cond(any_unsound, full_path, lambda _: fast[:8], None), any_unsound
 
 
 def _apply_branches(cfg: DecodeConfig, tokens, fm_valid, cand_lp, prev_count, finished):
@@ -799,8 +841,19 @@ def _dedup_mask(tokens):
     """Within each beam's candidate list, keep one instance per token id.
 
     Duplicate instances of a token carry identical scores, so dropping all
-    but one is exact.  Returns a bool keep-mask aligned with ``tokens``.
+    but one is exact (the FIRST instance survives, preserving candidate
+    order).  Returns a bool keep-mask aligned with ``tokens``.
+
+    At decode candidate widths (~100-320 slots) the O(n^2) pairwise
+    compare is one VPU-friendly broadcast, far cheaper than the two
+    ``lax.sort``s of the sort-based scheme (each multi-ms on v5e at
+    [480, 160]); the sort path remains for wide inputs where n^2 blows up.
     """
+    n = tokens.shape[-1]
+    if n <= 1024:
+        j_lt_i = jnp.tril(jnp.ones((n, n), bool), k=-1)
+        dup = ((tokens[..., :, None] == tokens[..., None, :]) & j_lt_i).any(-1)
+        return ~dup
     order = jnp.argsort(tokens, axis=-1)
     sorted_tok = jnp.take_along_axis(tokens, order, axis=-1)
     dup_sorted = jnp.concatenate(
@@ -1072,7 +1125,8 @@ def constrained_beam_search(
         hi0[jnp.arange(B)[:, None], sel_par],
     )
 
-    hist0 = (c_tok0, c_par0, c_sco0, c_fin0, sel_tok, sel_par)
+    # step 0 uses the dense corpus mask -- no proposal round, never falls back
+    hist0 = (c_tok0, c_par0, c_sco0, c_fin0, sel_tok, sel_par, jnp.zeros((), bool))
 
     # ---- steps 1..S-1 inside one scan ------------------------------------
     def step(carry, t):
@@ -1095,13 +1149,15 @@ def constrained_beam_search(
             or cfg.sample
             or cfg.num_groups > 1
         )
+        fellback = jnp.zeros((), bool)
         if fast_exact:
             # the production path: round-0 proposals + post-selection
             # soundness proof, full loop only on (rare) unsound steps
-            (c_tok, c_par, c_sco, c_fin, sel_tok, sel_par, new_beam_scores, sel_fin) = (
-                _fast_exact_select(
-                    ops, cfg, lp, lo, hi, prev_count, finished, beam_scores, K, V
-                )
+            (
+                (c_tok, c_par, c_sco, c_fin, sel_tok, sel_par, new_beam_scores, sel_fin),
+                fellback,
+            ) = _fast_exact_select(
+                ops, cfg, lp, lo, hi, prev_count, finished, beam_scores, K, V
             )
         else:
             cand_tok, allowed, cand_lp = _candidates_general(
@@ -1150,7 +1206,7 @@ def constrained_beam_search(
             new_tokens, new_beam_scores, new_cache, new_lo, new_hi, new_prev_count,
             new_tainted, key,
         )
-        ys = (c_tok, c_par, c_sco, c_fin, sel_tok, sel_par)
+        ys = (c_tok, c_par, c_sco, c_fin, sel_tok, sel_par, fellback)
         return carry, ys
 
     if S > 1:
@@ -1163,7 +1219,7 @@ def constrained_beam_search(
     else:
         hist = jax.tree_util.tree_map(lambda a: a[None], hist0)
 
-    c_tok, c_par, c_sco, c_fin, s_tok, s_par = hist
+    c_tok, c_par, c_sco, c_fin, s_tok, s_par, fellback = hist
     return BeamSearchOutput(
         cand_tokens=c_tok,
         cand_parents=c_par,
@@ -1174,4 +1230,5 @@ def constrained_beam_search(
         final_scores=beam_scores,
         final_tokens=tokens.reshape(B, K, L),
         final_valid=~tainted,
+        fallback_steps=fellback.sum().astype(jnp.int32),
     )

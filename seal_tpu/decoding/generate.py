@@ -264,9 +264,21 @@ def fm_index_generate_async(
 
     def finalize() -> List[List[Tuple[float, List[int]]]]:
         # one transfer; local rows under multi-process
-        return extract_hypotheses(_fetch_local(out), dcfg)
+        fetched = _fetch_local(out)
+        if fetched.fallback_steps is not None:
+            # diagnostics for the fast-path soundness fallback (a corpus
+            # that trips it every step would otherwise present as a silent
+            # ~40% regression); read by bench.py as `fallback_rate`
+            LAST_DECODE_STATS["fallback_steps"] = int(fetched.fallback_steps)
+            LAST_DECODE_STATS["num_steps"] = dcfg.num_steps
+        return extract_hypotheses(fetched, dcfg)
 
     return finalize
+
+
+#: Most recent decode's fast-path fallback counters (single-dispatch
+#: diagnostics; see BeamSearchOutput.fallback_steps).
+LAST_DECODE_STATS = {"fallback_steps": 0, "num_steps": 0}
 
 
 def fm_index_generate(*args, **kwargs) -> List[List[Tuple[float, List[int]]]]:

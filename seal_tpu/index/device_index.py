@@ -67,7 +67,11 @@ def build_bucket_occ(
     return occ, bucket_size
 
 
-MAX_HEAD_SYMBOLS = 512  # directory rows cap (memory bound for adversarial corpora)
+MAX_HEAD_SYMBOLS = 4096  # directory rows safety cap (build-time bound)
+DIR_BUDGET_BYTES = 32 << 20  # head_occ memory budget; the directory is a
+# LATENCY structure (every level it removes is one serialized HBM-gather
+# round off every rank query, ~0.37 ms/level at the bench decode shape), so
+# it is budgeted in absolute bytes against the 16 GB chip, not per token
 
 
 def build_head_directory(
@@ -75,43 +79,73 @@ def build_head_directory(
     C: np.ndarray,
     n_rows: int,
     dir_shift: int | None = None,
+    budget_bytes: int = DIR_BUDGET_BYTES,
 ) -> tuple[np.ndarray | None, np.ndarray | None, int, int]:
     """Position-blocked Occ directory for frequent ("head") symbols.
 
-    Returns (head_id, head_occ, dir_shift, search_iters).  ``dir_shift``
-    auto-scales with the corpus (2^11 blocks at <=8M rows, growing so the
-    directory stays ~4096 position blocks); symbols whose psi block exceeds
-    the block size get a directory row, all others keep their (already
-    shallow) full-block search.  ``search_iters`` is the resulting uniform
-    binary-search depth.  Memory: H x (N >> dir_shift) x 4 bytes -- ~0.1%
-    of the index for Zipf corpora, hard-capped by MAX_HEAD_SYMBOLS.
+    Returns (head_id, head_occ, dir_shift, search_iters).  Symbols whose
+    psi block exceeds ``2^dir_shift`` rows get a directory row pinning any
+    rank query to one position block in O(1); all others keep their
+    (already shallow) full-block search.  ``search_iters`` -- the uniform
+    binary-search depth, ``max(block cap, largest uncovered symbol)`` --
+    is THE rank-query cost on TPU (a serialized chain of HBM gathers), so
+    the auto-tuner searches every (dir_shift, head set) pair that fits
+    ``budget_bytes`` (head_occ is H x ((N >> dir_shift) + 2) x 4 bytes)
+    and keeps the one with the fewest iterations, ties to less memory.
+    Measured on v5e (round 4): depth 12 -> 7 on the 1.2M-token bench
+    corpus at 32 MB.  ``dir_shift`` pins the shift explicitly (tests).
     """
     counts = np.diff(C.astype(np.int64))
     max_block = int(counts.max()) if counts.size else 1
-    if dir_shift is None:
-        dir_shift = max(11, math.ceil(math.log2(max(n_rows, 2))) - 12)
-    S = 1 << dir_shift
     base_iters = max(1, math.ceil(math.log2(max_block + 1)))
-    head = np.nonzero(counts > S)[0]
-    if head.size == 0 or base_iters <= dir_shift + 1:
-        return None, None, 0, base_iters
-    if head.size > MAX_HEAD_SYMBOLS:
-        order = np.argsort(counts[head])[::-1]
-        head = np.sort(head[order[:MAX_HEAD_SYMBOLS]])
+    # tiny corpora cannot usefully absorb the full flat budget (and their
+    # B/token reporting shouldn't be dominated by it): cap at 32 B/token
+    budget_bytes = min(budget_bytes, 32 * n_rows)
+    order = np.argsort(counts)[::-1]  # symbols by block size, desc
+    sorted_counts = counts[order]
+
+    def plan(shift: int):
+        """(iters, mem, h_eff) for a shift, or None when useless."""
+        nb = (n_rows >> shift) + 2
+        h_fit = int(budget_bytes // (nb * 4))
+        h_all = int((sorted_counts > (1 << shift)).sum())
+        h_eff = min(h_all, h_fit, MAX_HEAD_SYMBOLS)
+        if h_eff == 0:
+            return None
+        tail_max = int(sorted_counts[h_eff]) if h_eff < sorted_counts.size else 1
+        depth = max(min(1 << shift, max_block), tail_max)
+        iters = max(1, math.ceil(math.log2(depth + 1)))
+        if iters >= base_iters:
+            return None
+        return iters, h_eff * nb * 4, h_eff
+
+    if dir_shift is not None:
+        choice = plan(dir_shift)
+        if choice is None:
+            return None, None, 0, base_iters
+        shift = dir_shift
+    else:
+        best = None
+        shift = 0
+        for s in range(4, max(5, math.ceil(math.log2(max(n_rows, 2))))):
+            p = plan(s)
+            if p is not None and (best is None or p[:2] < best[:2]):
+                best, shift = p, s
+        if best is None:
+            return None, None, 0, base_iters
+        choice = best
+
+    iters, _, h_eff = choice
+    head = np.sort(order[:h_eff])
     head_id = np.full(counts.size, -1, np.int32)
     head_id[head] = np.arange(head.size, dtype=np.int32)
-    nb = (n_rows >> dir_shift) + 2
-    bounds = (np.arange(nb, dtype=np.int64) << dir_shift)
+    nb = (n_rows >> shift) + 2
+    bounds = np.arange(nb, dtype=np.int64) << shift
     head_occ = np.empty((head.size, nb), np.int32)
     for h, c in enumerate(head):
         block = psi[C[c] : C[c + 1]]
         head_occ[h] = np.searchsorted(block, bounds, side="left").astype(np.int32)
-    covered = np.zeros(counts.size, bool)
-    covered[head] = True
-    tail_max = int(counts[~covered].max()) if (~covered).any() else 1
-    depth = max(min(S, max_block), tail_max)
-    iters = max(1, math.ceil(math.log2(depth + 1)))
-    return head_id, head_occ, dir_shift, iters
+    return head_id, head_occ, shift, iters
 
 
 @struct.dataclass

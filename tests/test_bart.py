@@ -114,12 +114,9 @@ def test_cache_reorder(hf_pair):
     assert float(re[0]["k"][2, 0, 0, 0]) == 0.0
 
 
-def test_fairseq_conversion_shape():
-    """fairseq checkpoints are one embedding row short; converter pads."""
-    cfg = bart_tiny(vocab_size=50)
-    rng = np.random.default_rng(0)
-    params = bart.init_params(jax.random.PRNGKey(0), cfg)
-    # build a fake fairseq state dict from our own params
+def _fairseq_state_dict(cfg, params):
+    """Assemble a fairseq-layout BART state dict from our own params
+    (``decoder.embed_tokens`` one row short, reference ``utils.py:42-50``)."""
     sd = {}
     sd["decoder.embed_tokens.weight"] = np.asarray(params["shared"])[:-1]  # one short
     for side, cross in (("encoder", False), ("decoder", True)):
@@ -149,7 +146,14 @@ def test_fairseq_conversion_shape():
             sd[f"{p}.fc2.bias"] = np.asarray(layer["fc2"]["bias"])
             sd[f"{p}.final_layer_norm.weight"] = np.asarray(layer["final_ln"]["scale"])
             sd[f"{p}.final_layer_norm.bias"] = np.asarray(layer["final_ln"]["bias"])
+    return sd
 
+
+def test_fairseq_conversion_shape():
+    """fairseq checkpoints are one embedding row short; converter pads."""
+    cfg = bart_tiny(vocab_size=50)
+    params = bart.init_params(jax.random.PRNGKey(0), cfg)
+    sd = _fairseq_state_dict(cfg, params)
     conv = convert.from_fairseq_state_dict(sd, cfg)
     assert conv["shared"].shape == (cfg.vocab_size, cfg.d_model)
     np.testing.assert_array_equal(np.asarray(conv["shared"][-1]), 0.0)
@@ -161,6 +165,48 @@ def test_fairseq_conversion_shape():
     enc_a = bart.encode(cfg, params_t, jnp.asarray(src), jnp.asarray(mask))
     enc_b = bart.encode(cfg, conv, jnp.asarray(src), jnp.asarray(mask))
     np.testing.assert_allclose(np.asarray(enc_a), np.asarray(enc_b), atol=1e-5)
+
+
+def test_fairseq_checkpoint_file_roundtrip(tmp_path):
+    """A GENUINE fairseq-pickled ``checkpoint_best.pt`` on disk -- torch
+    tensors inside ``state['model']``, version keys, tied
+    ``decoder.output_projection``, optimizer history -- must load through
+    ``load_fairseq_checkpoint`` to the same params as the in-memory
+    conversion (reference consumer: ``seal/utils.py:42-50``, selected by
+    ``--fairseq_checkpoint``, ``retrieval.py:571-575``)."""
+    import torch
+
+    cfg = bart_tiny(vocab_size=50)
+    params = bart.init_params(jax.random.PRNGKey(0), cfg)
+    sd = {k: torch.tensor(v) for k, v in _fairseq_state_dict(cfg, params).items()}
+    # fairseq artifacts the converter must tolerate/ignore
+    sd["encoder.version"] = torch.tensor([2.0])
+    sd["decoder.version"] = torch.tensor([2.0])
+    sd["encoder.embed_tokens.weight"] = sd["decoder.embed_tokens.weight"]
+    sd["decoder.output_projection.weight"] = sd["decoder.embed_tokens.weight"]
+    state = {
+        "args": None,
+        "cfg": {"model": {"arch": "bart_large"}},
+        "model": sd,
+        "optimizer_history": [{"criterion_name": "LabelSmoothedCrossEntropyCriterion"}],
+        "extra_state": {"train_iterator": {"epoch": 1}},
+        "last_optimizer_state": {},
+    }
+    path = tmp_path / "checkpoint_best.pt"
+    torch.save(state, str(path))
+
+    loaded = convert.load_fairseq_checkpoint(str(path), cfg)
+    direct = convert.from_fairseq_state_dict(_fairseq_state_dict(cfg, params), cfg)
+    flat_a = jax.tree_util.tree_leaves(loaded)
+    flat_b = jax.tree_util.tree_leaves(direct)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the loaded params actually run
+    src = np.array([[3, 4, 5]])
+    mask = np.ones((1, 3), np.int64)
+    enc = bart.encode(cfg, loaded, jnp.asarray(src), jnp.asarray(mask))
+    assert np.isfinite(np.asarray(enc)).all()
 
 
 def test_apply_seal_logits_bias():

@@ -282,7 +282,7 @@ def test_fast_select_falls_back_when_missed_token_reaches_cutoff():
     for x in (11, 12, 13, 14):
         lp[:, :, x] = -50.0 - x  # allowed, low lp (the slab flood)
 
-    out = jax.jit(
+    out, fellback = jax.jit(
         lambda lp_, lo_, hi_, pc, fin, bs: _fast_exact_select(
             ops, cfg, lp_.reshape(B * K, V), lo_, hi_, pc, fin, bs, K, V
         )
@@ -295,6 +295,7 @@ def test_fast_select_falls_back_when_missed_token_reaches_cutoff():
         jnp.zeros((B, K), jnp.float32),
     )
     c_tok, _, c_sco, c_fin = (np.asarray(x) for x in out[:4])
+    assert bool(fellback), "the unsound round-0 proof must trigger the fallback"
     selected = {int(t) for t, f in zip(c_tok[0], c_fin[0]) if f}
     # dense semantics: global top-2K by cons = beam(0) + lp; with both
     # beams identical, that is {15 (lp -2), 11 (lp -61)} per beam
