@@ -205,6 +205,12 @@ def main():
     per_batch = float(np.median(times))
     sync_qps = batch / per_batch
 
+    # snapshot the fast-path fallback counters of the LAST timed sync run
+    # before later measurements (config5 / max-batch / e2e) overwrite them
+    from seal_tpu.decoding.generate import LAST_DECODE_STATS
+
+    fallback_stats = dict(LAST_DECODE_STATS)
+
     # ---- pipelined serving loop (the PRIMARY metric) ----------------------
     # Dispatch batch N+1 before finalizing batch N: JAX dispatch is async,
     # so the host transfer + hypothesis backtrack of batch N overlap batch
@@ -396,6 +402,78 @@ def main():
         print("# max-batch measurement failed; primary metric unaffected", file=sys.stderr)
         traceback.print_exc(limit=3, file=sys.stderr)
 
+    # ---- fast-path fallback observability (VERDICT r3 #8) ----------------
+    # How often the round-0 soundness proof failed and the full proposal
+    # loop ran during the timed sync decodes (generate.LAST_DECODE_STATS is
+    # set by the finalize of the last fm_index_generate call above).
+    fallback = {}
+    if fallback_stats.get("num_steps"):
+        fallback["fallback_rate"] = round(
+            fallback_stats["fallback_steps"] / fallback_stats["num_steps"], 4
+        )
+
+    # ---- end-to-end batch_search (VERDICT r3 #3) --------------------------
+    # Full pipeline on a word-vocab synthetic corpus (the bench_e2e.py
+    # recipe, inlined so BENCH_r* always carries it): decode + decomposition
+    # + rescore + unigrams + two-stage aggregation + detokenization.
+    e2e = {}
+    try:
+        from seal_tpu.models.tokenizer import WordVocabTokenizer
+        from seal_tpu.retrieval.searcher import SEALSearcher
+
+        words = np.array([f"w{i}" for i in range(30_000)])
+        probs = 1.0 / np.arange(1, len(words) + 1) ** 0.8
+        probs /= probs.sum()
+        texts = [
+            f"Title{i} @@ " + " ".join(rng.choice(words, size=110, p=probs))
+            for i in range(n_docs)
+        ]
+        tok = WordVocabTokenizer.train((" " + t for t in texts), max_vocab=50_000)
+        e2e_docs = [tok.encode_plain(" " + t) + [tok.eos_token_id] for t in texts]
+        e2e_index = FMIndex()
+        e2e_index.initialize(e2e_docs, labels=[f"d{i}" for i in range(n_docs)])
+        # the keygen bench's zipf-corpus logit bias is meaningless over the
+        # word-vocab corpus (different id->token mapping) and starves the
+        # searcher of corpus-plausible keys; the e2e leg uses the plain
+        # seal bias (bench_e2e.py recipe)
+        import jax.numpy as jnp
+
+        params_e2e = dict(params)
+        params_e2e["final_logits_bias"] = jnp.zeros((cfg.vocab_size,), jnp.float32)
+        params_e2e = convert.apply_seal_logits_bias(params_e2e, cfg)
+        searcher = SEALSearcher(
+            e2e_index, tok, cfg, params_e2e,
+            backbone="word-vocab-large", beam=beam, length=length, batch_size=batch,
+        )
+        queries = []
+        for _ in range(batch):
+            d = texts[int(rng.integers(0, n_docs))].split("@@ ")[1].split()
+            s = int(rng.integers(0, max(1, len(d) - 6)))
+            queries.append(" ".join(d[s : s + 6]))
+        _retry(lambda: searcher.batch_search(queries[:16], k=10),
+               attempts=2, label="e2e warmup")  # compile
+        searcher.phase_timer.enabled = True
+        t0 = time.time()
+        hits = _retry(lambda: searcher.batch_search(queries, k=10),
+                      attempts=2, label="e2e steady")
+        e2e_wall = time.time() - t0
+        tot = searcher.phase_timer.totals
+        agg = tot.get("aggregate", 0.0) + tot.get("generate+aggregate", 0.0)
+        e2e = {
+            "e2e_qps": round(len(queries) / e2e_wall, 3),
+            # phases overlap under pipelining: share of wall, not a sum
+            "e2e_aggregate_share": round(agg / e2e_wall, 3),
+        }
+        print(
+            f"# e2e: {len(queries)} queries in {e2e_wall:.2f}s -> "
+            f"{e2e['e2e_qps']} q/s; phases {searcher.phase_timer.summary()}; "
+            f"{sum(1 for d_ in hits if d_)}/{len(queries)} non-empty",
+            file=sys.stderr,
+        )
+    except Exception:
+        print("# e2e measurement failed; primary metric unaffected", file=sys.stderr)
+        traceback.print_exc(limit=3, file=sys.stderr)
+
     result = {
         "metric": f"constrained key-generation queries/sec/chip (beam {beam}, len {length}, bart-large, {platform})",
         "value": round(qps, 3),
@@ -408,7 +486,9 @@ def main():
         **phases,
         "model_tflops_per_query": round(flops / batch / 1e12, 3),
         "timed_iters": len(times),
+        **fallback,
         **c5,
+        **e2e,
     }
     print(json.dumps(result))
     print(

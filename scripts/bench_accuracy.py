@@ -170,7 +170,8 @@ def main_large():
 
     rng = np.random.default_rng(0)
     pool = [f"theme{i}" for i in range(35)]
-    topics = [f"{pool[i]} {pool[j]}" for i in range(35) for j in range(i + 1, 35)][:595]
+    pairs_ab = [(pool[i], pool[j]) for i in range(35) for j in range(i + 1, 35)][:595]
+    topics = [f"{a} {b}" for a, b in pairs_ab]
     n_topics = len(topics)
     filler = [f"word{i}" for i in range(1200)]
     texts = [
@@ -179,18 +180,44 @@ def main_large():
         for t in topics
     ]
     n_fill = 4200
-    texts += [
-        f"Filler{i} @@ " + " ".join(rng.choice(filler, size=230))
-        for i in range(n_fill)
-    ]
+    # distractor keys shared across docs (round-3 verdict: de-saturate):
+    # a third of the filler docs embed PARTIAL gold phrases ("all about X" /
+    # "the Y facts" for random themes), so short or single-theme keys no
+    # longer separate gold from filler -- ranking must aggregate the full
+    # two-theme phrase via stage-2 coverage
+    fill_texts = []
+    for i in range(n_fill):
+        body = " ".join(rng.choice(filler, size=230))
+        if i % 3 == 0:
+            x, y = rng.choice(pool, size=2, replace=False)
+            parts = body.split()
+            parts.insert(rng.integers(0, 100), f"all about {x} and")
+            parts.insert(rng.integers(100, 200), f"the {y} facts")
+            body = " ".join(parts)
+        fill_texts.append(f"Filler{i} @@ {body}")
+    texts += fill_texts
     labels = [f"t{i}" for i in range(n_topics)] + [f"f{i}" for i in range(n_fill)]
     gold = dict(zip(topics, labels[:n_topics]))
-    queries = {t: f"tell me about {t} please" for t in topics}
+    # TRAIN conditioning: one canonical template.  EVAL queries paraphrase
+    # and reorder (half the pairs swap theme order; four templates) so the
+    # decoder sees conditioning it never trained on -- key generation gets
+    # noisy exactly the way a real query distribution is.
+    eval_templates = [
+        "tell me about {a} {b} please",
+        "what do you know about {b} and {a}",
+        "{a} {b} information needed",
+        "please find facts regarding {b} {a}",
+    ]
+    queries = {}
+    for qi, ((a, b), t) in enumerate(zip(pairs_ab, topics)):
+        queries[t] = eval_templates[qi % 4].format(a=a, b=b)
+    train_queries = {t: f"tell me about {t} please" for t in topics}
 
     t0 = time.time()
     tok = ByteLevelBPETokenizer.train(
         [" " + x for x in texts[: n_topics + 400]]
-        + [" " + q + " || body || +" for q in list(queries.values())[:100]],
+        + [" " + q + " || body || +" for q in list(train_queries.values())[:100]]
+        + [" " + q for q in list(queries.values())[:100]],
         vocab_size=4000,
     )
     print(f"# BPE vocab {tok.vocab_size} trained in {time.time()-t0:.0f}s",
@@ -221,7 +248,8 @@ def main_large():
 
     pairs = []
     for t in topics:
-        src = tok.encode(" " + queries[t] + " || body || +")
+        # trained on the CANONICAL template only; eval queries paraphrase
+        src = tok.encode(" " + train_queries[t] + " || body || +")
         tgt = tok.encode_plain(f" all about {t} and the {t}")
         pairs.append((src, tgt))
     ls = max(len(s) for s, _ in pairs)
@@ -314,6 +342,13 @@ def main_large():
         ranked.append([labels[i] for i in islice(res, 20)])
     modes["reference-ranker oracle"] = acc_of(ranked)
     print(f"#   oracle ranked in {time.time()-t0:.0f}s", file=sys.stderr)
+
+    # --- free-generation ablation: does the constraint machinery earn its
+    # step share?  Same model/ranker, FM-index masks off (keys may be
+    # ungrounded; the count filter drops them before ranking).
+    modes["free generation (ablation)"] = accuracy(
+        SEALSearcher(index, tok, cfg, params, free_generation=True, **common)
+    )
 
     if not only_exact:
         from seal_tpu.parallel import mesh as mesh_lib

@@ -1,0 +1,78 @@
+"""Analytic sdsl `csa_wt_int<>` memory estimate for the bench corpora.
+
+The reference's index engine is sdsl-lite's `csa_wt_int<>`
+(`/root/reference/seal/cpp_modules/fm_index.cpp:19`): a compressed suffix
+array whose BWT lives in a balanced integer wavelet tree (`wt_int<>` over
+plain `bit_vector`s), with text-order SA samples every 32 positions and ISA
+samples every 64 (the `csa_wt<wt_int<>, 32, 64>` defaults).  No sdsl build
+exists in this image, so the footprint is estimated from its documented
+structure:
+
+  wavelet tree   n * ceil(log2(sigma)) bits of bit_vectors (balanced tree,
+                 one bit per symbol per level -- NOT entropy-compressed:
+                 the default wt_int uses plain bit_vectors), plus
+                 rank_support_v overhead of 0.25 bits per bit-vector bit;
+                 select support (mcl) would add ~0.2/bit where built.
+  SA samples     (n / 32) entries * ceil(log2 n) bits (int_vector).
+  ISA samples    (n / 64) entries * ceil(log2 n) bits.
+  C / alphabet   (sigma + 1) * 64 bits plus comp2char/char2comp maps
+                 ~2 * sigma * ceil(log2 sigma) bits (int_alphabet).
+
+An H0 row shows what an entropy-compressed variant
+(`wt_int<rrr_vector<63>>`) could approach: n * H0(T_bwt) ~= n * H0(T) bits
+plus ~10% rrr overhead -- a LOWER bound no deployed default reaches.
+
+Usage: python scripts/sdsl_memory_estimate.py [n_tokens ...]
+Prints one line per corpus size using the bench.py corpus recipe
+(Zipf-1.3 tokens over the BART vocab; H0 estimated on <=10M samples).
+"""
+
+import math
+import sys
+
+import numpy as np
+
+
+def estimate(n_tokens: int, seed: int = 0) -> dict:
+    rng = np.random.default_rng(seed)
+    vocab = 50265
+    doc_len = 120
+    n_docs = max(1, n_tokens // (doc_len + 1))
+    sample = min(n_tokens, 10_000_000)
+    zipf = rng.zipf(1.3, size=sample)
+    toks = zipf % (vocab - 10) + 4
+    counts = np.bincount(toks, minlength=vocab).astype(np.float64)
+    # EOS once per doc + sentinel; negligible for H0 but count the alphabet
+    counts[2] += sample / max(doc_len, 1)
+    p = counts[counts > 0]
+    p = p / p.sum()
+    h0 = float(-(p * np.log2(p)).sum())
+    sigma = int((counts > 0).sum()) + 1  # + sentinel
+    n = n_tokens + 1  # sdsl appends its own terminator
+
+    levels = math.ceil(math.log2(sigma))
+    log_n = math.ceil(math.log2(n))
+    wt_bits = n * levels
+    rank_bits = 0.25 * wt_bits
+    sa_bits = (n / 32) * log_n
+    isa_bits = (n / 64) * log_n
+    alpha_bits = (sigma + 1) * 64 + 2 * sigma * math.ceil(math.log2(sigma))
+    total_bits = wt_bits + rank_bits + sa_bits + isa_bits + alpha_bits
+    rrr_bits = 1.1 * n * h0 + sa_bits + isa_bits + alpha_bits
+    return {
+        "n_tokens": n_tokens,
+        "sigma": sigma,
+        "H0_bits": round(h0, 2),
+        "sdsl_default_B_per_token": round(total_bits / 8 / n_tokens, 2),
+        "sdsl_wt_B": round((wt_bits + rank_bits) / 8 / n_tokens, 2),
+        "sdsl_sa_isa_B": round((sa_bits + isa_bits) / 8 / n_tokens, 2),
+        "sdsl_rrr_lower_bound_B_per_token": round(rrr_bits / 8 / n_tokens, 2),
+    }
+
+
+if __name__ == "__main__":
+    sizes = [int(float(a)) for a in sys.argv[1:]] or [1_200_000, 100_000_000]
+    import json
+
+    for s in sizes:
+        print(json.dumps(estimate(s)))

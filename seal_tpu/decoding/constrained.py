@@ -382,14 +382,22 @@ def _exact_topk(x, k: int, blk: int = 64, assume_finite: bool = False):
     bm = jnp.max(xblk, axis=-1)
     _, bidx = lax.top_k(bm, k)
     bidx = jnp.sort(bidx, axis=-1)
-    onehot = (bidx[:, :, None] == jnp.arange(nb, dtype=jnp.int32)).astype(jnp.float32)
-    g = lax.dot_general(
-        onehot,
-        xblk,
-        (((2,), (1,)), ((0,), (0,))),
-        precision=lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )  # [rows, k, blk] == xblk[r, bidx[r, :], :], exactly
+    if x.shape[0] * k * nb * 4 <= (256 << 20):
+        onehot = (bidx[:, :, None] == jnp.arange(nb, dtype=jnp.int32)).astype(
+            jnp.float32
+        )
+        g = lax.dot_general(
+            onehot,
+            xblk,
+            (((2,), (1,)), ((0,), (0,))),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # [rows, k, blk] == xblk[r, bidx[r, :], :], exactly
+    else:
+        # the one-hot operand would not fit comfortably in HBM traffic at
+        # this shape (beam-32/batch-64 class); the axis-1 row gather is
+        # within ~10% of the matmul at bench shapes and O(rows*k*blk) memory
+        g = jnp.take_along_axis(xblk, bidx[:, :, None], axis=1)
     cols = (bidx[:, :, None] * blk + jnp.arange(blk, dtype=bidx.dtype)).reshape(
         x.shape[0], k * blk
     )

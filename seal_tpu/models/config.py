@@ -50,6 +50,19 @@ def bart_large() -> BartConfig:
     return BartConfig()
 
 
+def bart_base() -> BartConfig:
+    """facebook/bart-base dimensions (HF config.json)."""
+    return BartConfig(
+        d_model=768,
+        encoder_layers=6,
+        decoder_layers=6,
+        encoder_attention_heads=12,
+        decoder_attention_heads=12,
+        encoder_ffn_dim=3072,
+        decoder_ffn_dim=3072,
+    )
+
+
 def bart_tiny(vocab_size: int = 128) -> BartConfig:
     """A small config for tests and CPU-runnable demos."""
     return BartConfig(
