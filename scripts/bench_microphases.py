@@ -58,7 +58,8 @@ def main():
             layout = a.split("=", 1)[1]
     batch = int(argv[0]) if len(argv) > 0 else 32
     beam = int(argv[1]) if len(argv) > 1 else 15
-    chunk, window, V = 64, 128, 50265
+    window, V = 128, 50265
+    chunk = max(64, 4 * beam)  # decode round-0 width: max(exact_chunk, 2*n_buf)
     B, K = batch, beam
     R = B * K
 
@@ -91,12 +92,18 @@ def main():
     one_tok = jnp.asarray(rng.integers(4, V, size=(B, K)), jnp.int32)
 
     def scan_over(body, init):
+        # query-shaped operands (lp is batch x vocab -- 412 MB at config5)
+        # must enter as jit ARGUMENTS: closure-captured arrays become jaxpr
+        # constants and overflow the tunnel's remote-compile payload (413)
         @jax.jit
-        def run(init):
-            out, _ = lax.scan(body, init, jnp.arange(ITERS, dtype=jnp.int32))
+        def run(init, lp_, lo_, hi_, toks_, one_tok_):
+            def wrapped(c, i):
+                return body(c, i, lp_, lo_, hi_, toks_, one_tok_)
+
+            out, _ = lax.scan(wrapped, init, jnp.arange(ITERS, dtype=jnp.int32))
             return out
 
-        return lambda: jax.block_until_ready(run(init))
+        return lambda: jax.block_until_ready(run(init, lp, lo, hi, toks, one_tok))
 
     # data-dependence: fold a cheap reduction of the result into the carry
     # so XLA cannot hoist the op out of the scan.
@@ -105,39 +112,48 @@ def main():
 
     progs = {}
 
-    progs["empty"] = scan_over(lambda c, i: (c + i, None), jnp.int32(0))
+    progs["empty"] = scan_over(lambda c, i, *o: (c + i, None), jnp.int32(0))
 
-    def top_k_body(c, i):
+    def top_k_body(c, i, lp, lo, hi, toks, one_tok):
         v, t = lax.top_k(lp + (c % 2).astype(jnp.float32), chunk)
         return c + dep(t), None
 
     progs["top_k"] = scan_over(top_k_body, jnp.int32(0))
 
-    def validate_body(c, i):
+    def block_topk_body(c, i, lp, lo, hi, toks, one_tok):
+        from seal_tpu.decoding.constrained import _exact_topk
+
+        v, t = _exact_topk(lp + (c % 2).astype(jnp.float32), chunk, blk=32,
+                           assume_finite=True)
+        return c + dep(t), None
+
+    progs["block_topk"] = scan_over(block_topk_body, jnp.int32(0))
+
+    def validate_body(c, i, lp, lo, hi, toks, one_tok):
         cnt = fm_ops.validate_tokens(index, toks + (c % 2), lo, hi)
         return c + dep(cnt), None
 
     progs["validate"] = scan_over(validate_body, jnp.int32(0))
 
-    def contains_body(c, i):
+    def contains_body(c, i, lp, lo, hi, toks, one_tok):
         ok = fm_ops.contains_tokens(index, toks + (c % 2), lo, hi)
         return c + dep(ok.astype(jnp.int32)), None
 
     progs["contains"] = scan_over(contains_body, jnp.int32(0))
 
-    def window_body(c, i):
+    def window_body(c, i, lp, lo, hi, toks, one_tok):
         wt, wv = fm_ops.window_continuations(index, lo + (c % 2), hi, window)
         return c + dep(wt), None
 
     progs["window"] = scan_over(window_body, jnp.int32(0))
 
-    def buckets_body(c, i):
+    def buckets_body(c, i, lp, lo, hi, toks, one_tok):
         bc = fm_ops.bucket_counts(index, lo + (c % 2), hi)
         return c + dep(bc), None
 
     progs["buckets"] = scan_over(buckets_body, jnp.int32(0))
 
-    def extend_body(c, i):
+    def extend_body(c, i, lp, lo, hi, toks, one_tok):
         nlo, nhi = fm_ops.extend_ranges(index, one_tok + (c % 2), lo, hi)
         return c + dep(nhi), None
 

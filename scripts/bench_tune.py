@@ -24,11 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # (exact_chunk, exact_loop_chunk, window): window 0 = auto
 COMBOS = [
     (64, 0, 0),
-    (32, 0, 0),
-    (48, 0, 0),
-    (96, 0, 0),
-    (64, 0, 16),
     (64, 0, 64),
+    (64, 0, 96),
 ]
 
 

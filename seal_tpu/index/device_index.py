@@ -169,6 +169,15 @@ class DeviceFMIndex:
     # ``dir_shift`` iterations for head and tail symbols alike.
     head_id: Any = None  # int32 [sigma]: slot into head_occ, or -1
     head_occ: Any = None  # int32 [H, (N >> dir_shift) + 2]
+    # psi again, padded (with n_rows) and reshaped [ceil(N/128)+2, 128]:
+    # lets the rank search finish its last 7 levels with TWO whole-row
+    # ``jnp.take``s along the block axis -- the embedding-lookup gather
+    # shape the TPU streams at full bandwidth -- instead of 7 serialized
+    # scalar-gather rounds.  (A vmapped dynamic_slice window was tried
+    # first and measured 10x SLOWER than the binary search: XLA lowers
+    # per-lane slices to scalar gathers, same finding as wt_ops.py:44-47.)
+    # +4 B/token on the fast-mode footprint; None = binary search only.
+    psi_blk: Any = None  # int32 [NB + 2, 128]
 
     n_rows: int = struct.field(pytree_node=False, default=0)  # N = tokens + 1
     sigma: int = struct.field(pytree_node=False, default=0)  # shifted alphabet
@@ -233,6 +242,10 @@ class DeviceFMIndex:
         head_id, head_occ, dshift, iters = build_head_directory(
             np.asarray(index.psi), np.asarray(index.C), n_rows, dir_shift
         )
+        psi_np = np.asarray(index.psi, dtype=np.int32)
+        nb = -(-n_rows // 128) + 2
+        psi_pad = np.full(nb * 128, n_rows, np.int32)
+        psi_pad[:n_rows] = psi_np
         return cls(
             text=jnp.asarray(index.text, dtype=text_dtype) if keep_text else None,
             sa=jnp.asarray(index.sa, dtype=jnp.int32) if keep_sa else None,
@@ -256,6 +269,7 @@ class DeviceFMIndex:
             head_id=jnp.asarray(head_id) if head_id is not None else None,
             head_occ=jnp.asarray(head_occ) if head_occ is not None else None,
             dir_shift=dshift,
+            psi_blk=jnp.asarray(psi_pad.reshape(nb, 128)),
         )
 
     def full_range(self, shape=()) -> tuple[jax.Array, jax.Array]:

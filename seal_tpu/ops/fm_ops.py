@@ -36,25 +36,73 @@ from seal_tpu.index.fm_index import SHIFT
 from seal_tpu.ops import _generic
 
 
-def _searchsorted_psi(index: DeviceFMIndex, lo, hi, pos):
-    """Branchless binary search: smallest i in [lo, hi] s.t. psi[i] >= pos.
+_VEC_LOG = 7  # vector finish takes over once the span is <= 1 << 7 rows
 
-    ``lo``/``hi``/``pos`` share a shape; returns that shape (int32).
-    Invariant: the answer lies in [lo, hi]; each iteration halves the span.
+
+def _searchsorted_impl(index: DeviceFMIndex, lo, hi, pos, want_val: bool):
+    """Smallest i in [lo, hi] s.t. psi[i] >= pos (psi[lo:hi] increasing).
+
+    ``lo``/``hi``/``pos`` share a shape; returns (row, val-or-None) where
+    ``val = psi[row]`` (clamped in-bounds) when ``want_val``.
+    Invariant: the answer lies in [lo, hi]; the span entering is bounded by
+    ``2^search_iters`` (head-directory construction, ``device_index.py``).
+
+    Two-stage: binary-search rounds halve the span down to <= 128, then a
+    vectorized compare-count over the TWO 128-row psi blocks covering
+    [lo, lo+128] finishes.  Each binary round is a serialized random HBM
+    gather (~0.37 ms/round at the bench decode shape); the finish reads
+    whole rows of the blocked ``psi_blk`` layout with ``jnp.take`` along
+    the block axis -- the embedding-lookup shape the TPU gather unit
+    streams at full bandwidth (a vmapped dynamic_slice window and a
+    scalar-gather loop both measured ~10x slower; cf. wt_ops.py:44-47).
+    At bench scale (search_iters == 7) the scalar loop vanishes entirely.
+    ``psi[row]`` also falls out of the gathered rows (row <= lo + 128 is
+    always inside them), so ``contains_tokens`` needs no second gather.
     """
     psi = index.psi
+    vec_log = min(index.search_iters, _VEC_LOG)
+    n_pre = (
+        index.search_iters - vec_log
+        if index.psi_blk is not None
+        else index.search_iters
+    )
 
-    def body(_, state):
-        lo, hi = state
-        mid = (lo + hi) >> 1
-        active = lo < hi
-        go_right = psi[mid] < pos
-        new_lo = jnp.where(active & go_right, mid + 1, lo)
-        new_hi = jnp.where(active & ~go_right, mid, hi)
-        return new_lo, new_hi
+    if n_pre > 0:
 
-    lo, hi = lax.fori_loop(0, index.search_iters, body, (lo, hi))
-    return lo
+        def body(_, state):
+            lo, hi = state
+            mid = (lo + hi) >> 1
+            active = lo < hi
+            go_right = psi[mid] < pos
+            new_lo = jnp.where(active & go_right, mid + 1, lo)
+            new_hi = jnp.where(active & ~go_right, mid, hi)
+            return new_lo, new_hi
+
+        lo, hi = lax.fori_loop(0, n_pre, body, (lo, hi))
+        if index.psi_blk is None:
+            val = psi[jnp.minimum(lo, index.n_rows - 1)] if want_val else None
+            return lo, val
+
+    # span <= 128: rows [lo, hi] lie inside blocks b0, b0+1 of psi_blk
+    # (padded with n_rows, which never satisfies ``< pos``).
+    b0 = lax.shift_right_logical(lo, 7)
+    vals = jnp.concatenate(
+        [jnp.take(index.psi_blk, b0, axis=0),
+         jnp.take(index.psi_blk, b0 + 1, axis=0)],
+        axis=-1,
+    )  # [..., 256]
+    idx = (b0 << 7)[..., None] + jnp.arange(256, dtype=jnp.int32)
+    hit = (idx >= lo[..., None]) & (idx < hi[..., None]) & (vals < pos[..., None])
+    row = lo + hit.sum(-1).astype(jnp.int32)
+    if not want_val:
+        return row, None
+    # row <= lo + 128 < (b0 << 7) + 256: always inside the gathered rows
+    val = jnp.take_along_axis(vals, (row - (b0 << 7))[..., None], axis=-1)[..., 0]
+    return row, val
+
+
+def _searchsorted_psi(index: DeviceFMIndex, lo, hi, pos):
+    return _searchsorted_impl(index, lo, hi, pos, want_val=False)[0]
 
 
 def _directed_bounds(index: DeviceFMIndex, c, blo, bhi, pos):
@@ -249,11 +297,11 @@ def contains_tokens(index: DeviceFMIndex, tokens, lo, hi):
     bhi = index.C[safe_c + 1]
     pos = jnp.broadcast_to(lo, safe_c.shape)
     dlo, dhi = _directed_bounds(index, safe_c, blo, bhi, pos)
-    row = _searchsorted_psi(index, dlo, dhi, pos)
     # row < bhi  ==>  psi[row] is the first occurrence >= lo (the directory
-    # bounds preserve the searchsorted invariant; see _directed_bounds)
+    # bounds preserve the searchsorted invariant; see _directed_bounds);
+    # the fused search returns psi[row] out of its own window gather.
+    row, first = _searchsorted_impl(index, dlo, dhi, pos, want_val=True)
     in_block = row < bhi
-    first = index.psi[jnp.minimum(row, index.n_rows - 1)]
     return valid & in_block & (first < jnp.broadcast_to(hi, safe_c.shape))
 
 
