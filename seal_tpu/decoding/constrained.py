@@ -206,6 +206,13 @@ class DecodeConfig:
     topk: int = 0  # TopKLogitsWarper on the raw logits (0 = off)
     num_groups: int = 1  # diverse beam groups
     diversity_penalty: float = 0.0  # Hamming diversity between groups
+    force_full: bool = False  # run every step through the proven-exact
+    #   proposal loop instead of the round-0 fast path.  The production
+    #   flow never sets this directly: the fast scan reports unsound steps
+    #   via ``fallback_steps``, and the HOST redispatches with
+    #   force_full=True only then (generate.py) -- an in-program per-step
+    #   lax.cond stalled the pipeline ~2 ms/step and a whole-scan cond
+    #   cost ~10% even when never taken (round-4 device measurements)
 
     def __post_init__(self):
         if self.num_groups > 1 and self.num_beams % self.num_groups:
@@ -679,7 +686,7 @@ def _exact_proposals(
     return buf_tok, buf_lp, buf_valid, eos_ok
 
 
-def _fast_exact_select(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, beam_scores, K, V):
+def _fast_exact_select(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished, beam_scores, K, V, force_full: bool = False):
     """One proposal round + selection, with a post-selection soundness proof.
 
     The full exact loop proves per-beam buffer completeness BEFORE
@@ -695,10 +702,19 @@ def _fast_exact_select(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished,
     bound reaches the cutoff (or ties it -- tie order must match the
     dense mode's) does the full proof loop run, under ``lax.cond``.
 
-    Bit-identical to the dense reference semantics: the fast branch is
-    taken only when provably equal; everything else falls back to the
+    Bit-identical to the dense reference semantics: the fast result is
+    used only when provably equal; everything else re-runs through the
     proven-exact loop.  Replaces the reference's per-step
     ``interval_symbols`` masks (``fm_index.cpp:78-131``).
+
+    Returns ``(result8, any_unsound)`` WITHOUT branching: a per-step
+    ``lax.cond`` fallback was measured at ~2 ms/step of pipeline-stall
+    overhead even when never taken (round-4 device trace), so the caller
+    defers the fallback -- it runs the whole fast scan, and only if some
+    step was unsound re-runs the scan with ``force_full=True`` (always the
+    proven loop, no soundness bookkeeping).  Step sequences are identical
+    either way: fast == full whenever sound (the proof), and an unsound
+    step re-runs full in both designs.
     """
     B = lo.shape[0]
     lp3 = lp.reshape(B, K, V)
@@ -729,6 +745,18 @@ def _fast_exact_select(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished,
             V,
         )
 
+    if force_full:
+        # The full proof loop runs round 0 from scratch: its
+        # consumed-prefix threshold state must come from ITS OWN exact
+        # sweep, and seeding it with the fast branch's buffers would couple
+        # the two proposal schedules for a path that fires on a small
+        # minority of decodes (see ``fallback_steps`` in BeamSearchOutput
+        # -- the observability for exactly this).
+        bt, bl, bv, eo = _exact_proposals(
+            ops, cfg, lp3, lo, hi, prev_count, finished, pad_lp, eos_tok
+        )
+        return build_and_select(bt, bl, bv, eo)[:8], jnp.zeros((), bool)
+
     buf_tok, buf_lp, buf_valid, eos_ok, need, th_lp = _exact_proposals(
         ops, cfg, lp3, lo, hi, prev_count, finished, pad_lp, eos_tok,
         round0_only=True,
@@ -738,21 +766,7 @@ def _fast_exact_select(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished,
     # ``>=``: an exact tie between a missed token and the cutoff would make
     # tie resolution depend on the sweep schedule -- fall back instead
     unsound = need & (beam_scores + th_lp >= s_star[:, None])
-
-    def full_path(_):
-        # The full proof loop re-runs round 0 from scratch: its
-        # consumed-prefix threshold state must come from ITS OWN exact
-        # sweep, and seeding it with the fast branch's buffers would couple
-        # the two proposal schedules for a path that fires on a small
-        # minority of steps (see ``fallback_steps`` in BeamSearchOutput --
-        # the observability for exactly this).
-        bt, bl, bv, eo = _exact_proposals(
-            ops, cfg, lp3, lo, hi, prev_count, finished, pad_lp, eos_tok
-        )
-        return build_and_select(bt, bl, bv, eo)[:8]
-
-    any_unsound = jnp.any(unsound)
-    return lax.cond(any_unsound, full_path, lambda _: fast[:8], None), any_unsound
+    return fast[:8], jnp.any(unsound)
 
 
 def _apply_branches(cfg: DecodeConfig, tokens, fm_valid, cand_lp, prev_count, finished):
@@ -1137,7 +1151,15 @@ def constrained_beam_search(
     hist0 = (c_tok0, c_par0, c_sco0, c_fin0, sel_tok, sel_par, jnp.zeros((), bool))
 
     # ---- steps 1..S-1 inside one scan ------------------------------------
-    def step(carry, t):
+    fast_exact = not (
+        cfg.exact_mask
+        or cfg.disable_fm_index
+        or cfg.speculative
+        or cfg.sample
+        or cfg.num_groups > 1
+    )
+
+    def step(carry, t, force_full=False):
         tokens, beam_scores, self_cache, lo, hi, prev_count, tainted, key = carry
         key, step_key = jax.random.split(key)
         cur_col = start_col + t  # column holding the last written token
@@ -1150,22 +1172,18 @@ def constrained_beam_search(
 
         finished = (last == cfg.eos_token_id) | (last == cfg.pad_token_id)
         finished = finished.reshape(B, K)
-        fast_exact = not (
-            cfg.exact_mask
-            or cfg.disable_fm_index
-            or cfg.speculative
-            or cfg.sample
-            or cfg.num_groups > 1
-        )
         fellback = jnp.zeros((), bool)
         if fast_exact:
             # the production path: round-0 proposals + post-selection
-            # soundness proof, full loop only on (rare) unsound steps
+            # soundness proof; unsound steps are detected here and the
+            # WHOLE scan re-runs with force_full outside (a per-step
+            # lax.cond stalled the pipeline ~2 ms/step even when sound)
             (
                 (c_tok, c_par, c_sco, c_fin, sel_tok, sel_par, new_beam_scores, sel_fin),
                 fellback,
             ) = _fast_exact_select(
-                ops, cfg, lp, lo, hi, prev_count, finished, beam_scores, K, V
+                ops, cfg, lp, lo, hi, prev_count, finished, beam_scores, K, V,
+                force_full=force_full,
             )
         else:
             cand_tok, allowed, cand_lp = _candidates_general(
@@ -1218,8 +1236,18 @@ def constrained_beam_search(
         return carry, ys
 
     if S > 1:
-        carry = (tokens, beam_scores, self_cache, lo, hi, prev_count, tainted, rng_key)
-        carry, ys = lax.scan(step, carry, jnp.arange(S - 1, dtype=jnp.int32))
+        carry0 = (tokens, beam_scores, self_cache, lo, hi, prev_count, tainted, rng_key)
+        ts = jnp.arange(S - 1, dtype=jnp.int32)
+        # Deferred exactness fallback: the fast scan flags any step whose
+        # round-0 candidate set could not be proven sufficient (the FIRST
+        # such flag is always computed on an exact prefix, so detection is
+        # sound); the HOST then redispatches this same program with
+        # cfg.force_full=True (generate.py reads ``fallback_steps``).  The
+        # flags never fire for cfg.force_full because every step runs the
+        # proven loop.
+        carry, ys = lax.scan(
+            lambda c, t: step(c, t, cfg.force_full), carry0, ts
+        )
         tokens, beam_scores, tainted = carry[0], carry[1], carry[6]
         hist = jax.tree_util.tree_map(
             lambda a, b: jnp.concatenate([a[None], b], axis=0), hist0, ys

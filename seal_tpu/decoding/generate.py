@@ -265,12 +265,39 @@ def fm_index_generate_async(
     def finalize() -> List[List[Tuple[float, List[int]]]]:
         # one transfer; local rows under multi-process
         fetched = _fetch_local(out)
+        n_fallback = (
+            int(fetched.fallback_steps)
+            if fetched.fallback_steps is not None
+            else 0
+        )
         if fetched.fallback_steps is not None:
             # diagnostics for the fast-path soundness fallback (a corpus
             # that trips it every step would otherwise present as a silent
             # ~40% regression); read by bench.py as `fallback_rate`
-            LAST_DECODE_STATS["fallback_steps"] = int(fetched.fallback_steps)
+            LAST_DECODE_STATS["fallback_steps"] = n_fallback
             LAST_DECODE_STATS["num_steps"] = dcfg.num_steps
+        if n_fallback and not dcfg.force_full:
+            # Deferred exactness fallback: some step's round-0 candidate
+            # set could not be proven sufficient, so this batch redecodes
+            # with every step through the proven-exact loop.  Branching
+            # here (host, per batch) instead of in-program keeps the
+            # common-case device program free of data-dependent control
+            # flow; ``fallback_steps`` is a replicated global scalar, so
+            # every process of a multi-process mesh takes the same branch.
+            import dataclasses as _dc
+
+            full = _jitted_search(
+                model_cfg, _dc.replace(dcfg, force_full=True), mesh
+            )
+            fetched = _fetch_local(
+                full(
+                    params,
+                    index,
+                    jnp.asarray(input_ids),
+                    jnp.asarray(attention_mask),
+                    jax.random.PRNGKey(seed),
+                )
+            )
         return extract_hypotheses(fetched, dcfg)
 
     return finalize

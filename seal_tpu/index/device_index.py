@@ -68,10 +68,13 @@ def build_bucket_occ(
 
 
 MAX_HEAD_SYMBOLS = 4096  # directory rows safety cap (build-time bound)
-DIR_BUDGET_BYTES = 32 << 20  # head_occ memory budget; the directory is a
-# LATENCY structure (every level it removes is one serialized HBM-gather
-# round off every rank query, ~0.37 ms/level at the bench decode shape), so
-# it is budgeted in absolute bytes against the 16 GB chip, not per token
+DIR_BUDGET_BYTES = 64 << 20  # head directory memory budget; the directory
+# is a LATENCY structure (every level it removes is one serialized
+# HBM-gather round off every rank query, ~0.37 ms/level at the bench decode
+# shape), so it is budgeted in absolute bytes against the 16 GB chip, not
+# per token.  8 bytes per (head, block) cell: the device layout stores
+# (Occ(c, j<<s), Occ(c, (j+1)<<s)) PAIRS so a rank query fetches both
+# bounds with ONE width-2 row gather instead of two scalar gathers.
 
 
 def build_head_directory(
@@ -90,7 +93,7 @@ def build_head_directory(
     binary-search depth, ``max(block cap, largest uncovered symbol)`` --
     is THE rank-query cost on TPU (a serialized chain of HBM gathers), so
     the auto-tuner searches every (dir_shift, head set) pair that fits
-    ``budget_bytes`` (head_occ is H x ((N >> dir_shift) + 2) x 4 bytes)
+    ``budget_bytes`` (the pair layout is H x ((N >> dir_shift) + 1) x 8 bytes)
     and keeps the one with the fewest iterations, ties to less memory.
     Measured on v5e (round 4): depth 12 -> 7 on the 1.2M-token bench
     corpus at 32 MB.  ``dir_shift`` pins the shift explicitly (tests).
@@ -99,15 +102,15 @@ def build_head_directory(
     max_block = int(counts.max()) if counts.size else 1
     base_iters = max(1, math.ceil(math.log2(max_block + 1)))
     # tiny corpora cannot usefully absorb the full flat budget (and their
-    # B/token reporting shouldn't be dominated by it): cap at 32 B/token
-    budget_bytes = min(budget_bytes, 32 * n_rows)
+    # B/token reporting shouldn't be dominated by it): cap at 64 B/token
+    budget_bytes = min(budget_bytes, 64 * n_rows)
     order = np.argsort(counts)[::-1]  # symbols by block size, desc
     sorted_counts = counts[order]
 
     def plan(shift: int):
         """(iters, mem, h_eff) for a shift, or None when useless."""
         nb = (n_rows >> shift) + 2
-        h_fit = int(budget_bytes // (nb * 4))
+        h_fit = int(budget_bytes // (nb * 8))
         h_all = int((sorted_counts > (1 << shift)).sum())
         h_eff = min(h_all, h_fit, MAX_HEAD_SYMBOLS)
         if h_eff == 0:
@@ -117,7 +120,7 @@ def build_head_directory(
         iters = max(1, math.ceil(math.log2(depth + 1)))
         if iters >= base_iters:
             return None
-        return iters, h_eff * nb * 4, h_eff
+        return iters, h_eff * nb * 8, h_eff
 
     if dir_shift is not None:
         choice = plan(dir_shift)
@@ -167,8 +170,10 @@ class DeviceFMIndex:
     # ``head_occ[head_id[c], j] = Occ(c, j << dir_shift)`` pins the search
     # to one position-block in O(1), capping the remaining depth at
     # ``dir_shift`` iterations for head and tail symbols alike.
-    head_id: Any = None  # int32 [sigma]: slot into head_occ, or -1
-    head_occ: Any = None  # int32 [H, (N >> dir_shift) + 2]
+    head_id: Any = None  # int32 [sigma]: slot into the head directory, or -1
+    # pair layout: head_pair[h * (nb - 1) + j] = (Occ(c, j<<s), Occ(c, (j+1)<<s))
+    # where nb = (N >> dir_shift) + 2 -- ONE width-2 row gather per rank query
+    head_pair: Any = None  # int32 [H * (nb - 1), 2]
     # psi again, padded (with n_rows) and reshaped [ceil(N/128)+2, 128]:
     # lets the rank search finish its last 7 levels with TWO whole-row
     # ``jnp.take``s along the block axis -- the embedding-lookup gather
@@ -178,6 +183,10 @@ class DeviceFMIndex:
     # per-lane slices to scalar gathers, same finding as wt_ops.py:44-47.)
     # +4 B/token on the fast-mode footprint; None = binary search only.
     psi_blk: Any = None  # int32 [NB + 2, 128]
+    # per-symbol directory row: (C[c], C[c+1], head_id[c], 0) -- collapses
+    # the three scalar gathers every rank query starts with into ONE
+    # width-4 row gather (row fetch cost == one scalar gather round).
+    sym_dir: Any = None  # int32 [sigma, 4]
 
     n_rows: int = struct.field(pytree_node=False, default=0)  # N = tokens + 1
     sigma: int = struct.field(pytree_node=False, default=0)  # shifted alphabet
@@ -246,6 +255,16 @@ class DeviceFMIndex:
         nb = -(-n_rows // 128) + 2
         psi_pad = np.full(nb * 128, n_rows, np.int32)
         psi_pad[:n_rows] = psi_np
+        C_np = np.asarray(index.C, dtype=np.int32)
+        sym_dir = np.zeros((sigma, 4), np.int32)
+        sym_dir[:, 0] = C_np[:-1]
+        sym_dir[:, 1] = C_np[1:]
+        sym_dir[:, 2] = head_id if head_id is not None else -1
+        head_pair = None
+        if head_occ is not None:
+            head_pair = np.stack(
+                [head_occ[:, :-1], head_occ[:, 1:]], axis=-1
+            ).reshape(-1, 2)
         return cls(
             text=jnp.asarray(index.text, dtype=text_dtype) if keep_text else None,
             sa=jnp.asarray(index.sa, dtype=jnp.int32) if keep_sa else None,
@@ -267,9 +286,10 @@ class DeviceFMIndex:
             search_iters=iters,
             bucket_size=bucket_size,
             head_id=jnp.asarray(head_id) if head_id is not None else None,
-            head_occ=jnp.asarray(head_occ) if head_occ is not None else None,
+            head_pair=jnp.asarray(head_pair) if head_pair is not None else None,
             dir_shift=dshift,
             psi_blk=jnp.asarray(psi_pad.reshape(nb, 128)),
+            sym_dir=jnp.asarray(sym_dir),
         )
 
     def full_range(self, shape=()) -> tuple[jax.Array, jax.Array]:

@@ -105,31 +105,41 @@ def _searchsorted_psi(index: DeviceFMIndex, lo, hi, pos):
     return _searchsorted_impl(index, lo, hi, pos, want_val=False)[0]
 
 
-def _directed_bounds(index: DeviceFMIndex, c, blo, bhi, pos):
-    """Tighten per-symbol search bounds via the head-symbol Occ directory.
+def _symbol_bounds(index: DeviceFMIndex, c, pos):
+    """(blo, bhi, dlo, dhi): psi-block and directory-tightened search bounds.
 
-    For a head symbol, ``head_occ[h, pos >> dir_shift]`` pins the answer to
-    one position block of its psi range in O(1) (two small gathers),
-    capping the binary-search depth at ``dir_shift`` iterations instead of
-    log2(largest block) -- the chain of serialized HBM gathers this
-    replaces is the dominant constraint-op cost (profiled round 3).
+    ``c`` holds shifted symbol ids; ``pos`` may carry extra leading dims
+    that broadcast against ``c`` (the stacked lo/hi lanes of a backward
+    step).  Every rank query starts here, so the lookups are packed:
+    ``sym_dir[c] = (C[c], C[c+1], head_id[c], 0)`` is ONE width-4 row
+    gather (vs three scalar gathers), and for head symbols
+    ``head_pair[h*(nb-1) + (pos >> dir_shift)]`` yields both Occ bounds of
+    the position block in ONE width-2 row gather (vs two scalar gathers)
+    -- each gather round is a serialized HBM round trip (~0.37 ms at the
+    bench decode shape), so rounds, not bytes, are the cost (round 3/4
+    profiles; reference hot loop: ``fm_index.cpp:111-131``).
     """
-    if index.head_occ is None:
-        return (
-            jnp.broadcast_to(blo, pos.shape),
-            jnp.broadcast_to(bhi, pos.shape),
-        )
-    h = index.head_id[c]
-    hb = jnp.broadcast_to(h, pos.shape)
+    if index.sym_dir is not None:
+        d = jnp.take(index.sym_dir, c, axis=0)  # [..., 4]
+        blo, bhi, hid = d[..., 0], d[..., 1], d[..., 2]
+    else:
+        blo, bhi = index.C[c], index.C[c + 1]
+        hid = index.head_id[c] if index.head_id is not None else None
+    shape = jnp.broadcast_shapes(pos.shape, blo.shape)
+    blo_b = jnp.broadcast_to(blo, shape)
+    bhi_b = jnp.broadcast_to(bhi, shape)
+    if hid is None or index.head_pair is None:
+        return blo, bhi, blo_b, bhi_b
+    pos_b = jnp.broadcast_to(pos, shape)
+    hb = jnp.broadcast_to(hid, shape)
     safe_h = jnp.maximum(hb, 0)
-    blk = jnp.clip(pos, 0, index.n_rows) >> index.dir_shift
-    o_lo = index.head_occ[safe_h, blk]
-    o_hi = index.head_occ[safe_h, blk + 1]
-    base = jnp.broadcast_to(blo, pos.shape)
+    blk = jnp.clip(pos_b, 0, index.n_rows) >> index.dir_shift
+    nb1 = (index.n_rows >> index.dir_shift) + 1  # directory blocks per head
+    pr = jnp.take(index.head_pair, safe_h * nb1 + blk, axis=0)  # [..., 2]
     is_head = hb >= 0
-    dlo = jnp.where(is_head, base + o_lo, jnp.broadcast_to(blo, pos.shape))
-    dhi = jnp.where(is_head, base + o_hi, jnp.broadcast_to(bhi, pos.shape))
-    return dlo, dhi
+    dlo = jnp.where(is_head, blo_b + pr[..., 0], blo_b)
+    dhi = jnp.where(is_head, blo_b + pr[..., 1], bhi_b)
+    return blo, bhi, dlo, dhi
 
 
 def rank(index: DeviceFMIndex, symbol, pos):
@@ -142,12 +152,10 @@ def rank(index: DeviceFMIndex, symbol, pos):
     pos = jnp.asarray(pos, jnp.int32)
     valid = (symbol >= 0) & (symbol < index.sigma)
     c = jnp.where(valid, symbol, 0)
-    lo = index.C[c]
-    hi = index.C[c + 1]
-    pos_b = jnp.broadcast_to(pos, lo.shape)
-    dlo, dhi = _directed_bounds(index, c, lo, hi, pos_b)
+    pos_b = jnp.broadcast_to(pos, c.shape)
+    blo, bhi, dlo, dhi = _symbol_bounds(index, c, pos_b)
     row = _searchsorted_psi(index, dlo, dhi, pos_b)
-    return jnp.where(valid, row - index.C[c], 0)
+    return jnp.where(valid, row - blo, 0)
 
 
 def backward_step(index: DeviceFMIndex, token, lo, hi):
@@ -165,15 +173,13 @@ def backward_step(index: DeviceFMIndex, token, lo, hi):
     c = token + SHIFT
     valid = (c >= 1) & (c < index.sigma)
     safe_c = jnp.where(valid, c, 0)
-    base = index.C[safe_c]
-    blo = index.C[safe_c]
-    bhi = index.C[safe_c + 1]
     pos = jnp.stack([jnp.broadcast_to(lo, safe_c.shape),
                      jnp.broadcast_to(hi, safe_c.shape)], 0)
-    bounds_lo, bounds_hi = _directed_bounds(index, safe_c, blo, bhi, pos)
+    blo, bhi, bounds_lo, bounds_hi = _symbol_bounds(index, safe_c, pos)
     row = _searchsorted_psi(index, bounds_lo, bounds_hi, pos)
-    new_lo = base + (row[0] - blo)
-    new_hi = base + (row[1] - blo)
+    # new row range = block base + rank within the block; base == blo
+    new_lo = row[0]
+    new_hi = row[1]
     new_lo = jnp.where(valid, new_lo, 0)
     new_hi = jnp.where(valid, new_hi, 0)
     new_hi = jnp.maximum(new_lo, new_hi)
@@ -293,12 +299,10 @@ def contains_tokens(index: DeviceFMIndex, tokens, lo, hi):
     c = tokens + SHIFT
     valid = (c >= 1) & (c < index.sigma)
     safe_c = jnp.where(valid, c, 0)
-    blo = index.C[safe_c]
-    bhi = index.C[safe_c + 1]
     pos = jnp.broadcast_to(lo, safe_c.shape)
-    dlo, dhi = _directed_bounds(index, safe_c, blo, bhi, pos)
+    blo, bhi, dlo, dhi = _symbol_bounds(index, safe_c, pos)
     # row < bhi  ==>  psi[row] is the first occurrence >= lo (the directory
-    # bounds preserve the searchsorted invariant; see _directed_bounds);
+    # bounds preserve the searchsorted invariant; see _symbol_bounds);
     # the fused search returns psi[row] out of its own window gather.
     row, first = _searchsorted_impl(index, dlo, dhi, pos, want_val=True)
     in_block = row < bhi

@@ -260,4 +260,25 @@ def sharded_fm_index_generate(
         jnp.asarray(attention_mask),
         jax.random.PRNGKey(seed),
     )
-    return extract_hypotheses(jax.device_get(out), dcfg)
+    fetched = jax.device_get(out)
+    if (
+        fetched.fallback_steps is not None
+        and int(fetched.fallback_steps)
+        and not dcfg.force_full
+    ):
+        # deferred exactness fallback, same host-side redo as generate.py
+        import dataclasses as _dc
+
+        full = _jitted_sharded_search(
+            model_cfg, _dc.replace(dcfg, force_full=True), mesh, statics
+        )
+        fetched = jax.device_get(
+            full(
+                sharded_index,
+                params,
+                jnp.asarray(input_ids),
+                jnp.asarray(attention_mask),
+                jax.random.PRNGKey(seed),
+            )
+        )
+    return extract_hypotheses(fetched, dcfg)

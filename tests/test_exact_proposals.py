@@ -282,11 +282,7 @@ def test_fast_select_falls_back_when_missed_token_reaches_cutoff():
     for x in (11, 12, 13, 14):
         lp[:, :, x] = -50.0 - x  # allowed, low lp (the slab flood)
 
-    out, fellback = jax.jit(
-        lambda lp_, lo_, hi_, pc, fin, bs: _fast_exact_select(
-            ops, cfg, lp_.reshape(B * K, V), lo_, hi_, pc, fin, bs, K, V
-        )
-    )(
+    args = (
         jnp.asarray(lp),
         jnp.full((B, K), lo, jnp.int32),
         jnp.full((B, K), hi, jnp.int32),
@@ -294,8 +290,23 @@ def test_fast_select_falls_back_when_missed_token_reaches_cutoff():
         jnp.zeros((B, K), bool),
         jnp.zeros((B, K), jnp.float32),
     )
+    out, fellback = jax.jit(
+        lambda lp_, lo_, hi_, pc, fin, bs: _fast_exact_select(
+            ops, cfg, lp_.reshape(B * K, V), lo_, hi_, pc, fin, bs, K, V
+        )
+    )(*args)
+    # new (deferred-fallback) contract: the fast result is returned
+    # unconditionally together with the unsoundness flag; the scan caller
+    # re-runs with force_full=True when any step raised it
+    assert bool(fellback), "the unsound round-0 proof must raise the flag"
+    out, fb2 = jax.jit(
+        lambda lp_, lo_, hi_, pc, fin, bs: _fast_exact_select(
+            ops, cfg, lp_.reshape(B * K, V), lo_, hi_, pc, fin, bs, K, V,
+            force_full=True,
+        )
+    )(*args)
+    assert not bool(fb2)
     c_tok, _, c_sco, c_fin = (np.asarray(x) for x in out[:4])
-    assert bool(fellback), "the unsound round-0 proof must trigger the fallback"
     selected = {int(t) for t, f in zip(c_tok[0], c_fin[0]) if f}
     # dense semantics: global top-2K by cons = beam(0) + lp; with both
     # beams identical, that is {15 (lp -2), 11 (lp -61)} per beam
@@ -339,3 +350,58 @@ def test_lm_averse_corpus_matches_dense(setup, seed):
     dense = fm_index_generate(cfg, params2, idx, ids, mask, exact_mask=True, **common)
     for ql, qd in zip(loop, dense):
         assert _hyps_key(ql) == _hyps_key(qd)
+
+
+def test_host_redo_on_fallback_through_generate():
+    """The deferred fallback end to end: a decode whose round-0 proof fails
+    must (a) report fallback_steps > 0 and (b) produce keys via the
+    host-side force_full redispatch (generate.py) that are all grounded --
+    the corrected selection, not the unsound fast one."""
+    import jax.numpy as jnp
+
+    from seal_tpu.decoding import generate
+    from seal_tpu.models import bart as bart_mod
+    from seal_tpu.models.config import bart_tiny
+
+    V = 30
+    units = [
+        (20, 11), (21, 12), (22, 13), (23, 14),
+        (24, 11), (25, 12), (26, 13), (27, 14),
+        (28, 15),
+    ]
+    doc = []
+    for c, x in units:
+        doc += [c, 10, x]
+    host = FMIndex()
+    host.initialize([doc])
+    dev = DeviceFMIndex.from_host(host, vocab=V)
+    cfg = bart_tiny(vocab_size=V)
+    params = dict(bart_mod.init_params(jax.random.PRNGKey(0), cfg))
+    bias = np.full(V, -100.0, np.float32)
+    for i in range(8):
+        bias[i] = -1.0 - 0.01 * i  # LM top-8: not in the corpus
+    bias[15] = -2.0  # allowed, hidden past round 0's examined prefix
+    for x in (11, 12, 13, 14):
+        bias[x] = -50.0 - x  # the slab flood
+    bias[10] = -3.0
+    # weights ~0 + strong bias => lp ~ log_softmax(8 * bias): the same
+    # adversarial shape as the direct _fast_exact_select test above
+    params["final_logits_bias"] = params["final_logits_bias"] * 0 + bias * 8.0
+
+    out = generate.fm_index_generate(
+        cfg, params, dev,
+        jnp.asarray([[0, 5, 6, 2]], jnp.int32), jnp.ones((1, 4), jnp.int32),
+        num_beams=2, max_length=6, exact_chunk=1, window=4,
+    )
+    assert generate.LAST_DECODE_STATS["fallback_steps"] > 0
+    n = 0
+    for hyps in out:
+        for _score, key in hyps:
+            key = [
+                t for t in key
+                if t not in (cfg.eos_token_id, cfg.pad_token_id, cfg.bos_token_id)
+            ]
+            if key:
+                assert host.get_count(key) > 0, key
+                n += 1
+    assert n > 0

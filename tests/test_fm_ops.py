@@ -118,7 +118,7 @@ def test_contains_tokens_with_head_directory():
     host = FMIndex()
     host.initialize([d.tolist() for d in np.array_split(toks, 120)])
     dev = DeviceFMIndex.from_host(host, vocab=40, dir_shift=6)
-    assert dev.head_occ is not None
+    assert dev.head_pair is not None
     n = host.size()
     los = rng.integers(0, n, size=64).astype(np.int32)
     his = np.minimum(los + rng.integers(0, n, size=64), n).astype(np.int32)
@@ -188,10 +188,10 @@ def test_head_directory_rank_and_ranges():
     host = FMIndex()
     host.initialize([d.tolist() for d in docs])
     dev = DeviceFMIndex.from_host(host, vocab=40, dir_shift=6)
-    assert dev.head_occ is not None and dev.dir_shift == 6
+    assert dev.head_pair is not None and dev.dir_shift == 6
     assert dev.search_iters <= 7  # capped by the 64-row directory block
     undirected = DeviceFMIndex.from_host(host, vocab=40, dir_shift=31)
-    assert undirected.head_occ is None  # blocks never exceed 2^31
+    assert undirected.head_pair is None  # blocks never exceed 2^31
 
     n = host.size()
     symbols = rng.integers(0, host.C.size - 1, size=256).astype(np.int32)
