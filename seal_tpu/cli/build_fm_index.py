@@ -20,10 +20,14 @@ import csv
 import re
 import sys
 
+from seal_tpu.utils.textfix import fix_mojibake
+
 
 def clean_text(text: str) -> str:
-    # reference build_fm_index.py:50-54 (ftfy unavailable offline; the
-    # whitespace/BULLET/SECTION normalization is the load-bearing part)
+    # reference build_fm_index.py:50-54; ftfy.fix_text is replaced by the
+    # conservative double-encoding repair in utils/textfix.py (divergence
+    # characterized in tests/test_text_divergence.py + PARITY.md)
+    text = fix_mojibake(text)
     text = re.sub(r"\s+", " ", text)
     text = text.replace("BULLET::::", "").replace("SECTION::::", "")
     return text.strip()

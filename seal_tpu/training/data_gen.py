@@ -23,6 +23,8 @@ from typing import Dict, Iterable, Iterator, Optional, Tuple
 
 import numpy as np
 
+from seal_tpu.utils.textfix import fix_mojibake
+
 # English stopwords (standard list; NLTK is unavailable offline)
 STOPWORDS = set(
     """a about above after again against all am an and any are aren't as at be
@@ -47,6 +49,9 @@ def fuzz_ratio(a: str, b: str) -> int:
 
 
 def clean(text: str) -> str:
+    # ftfy.fix_text (reference make_supervised_{dpr,kilt}_dataset.py:125/128)
+    # -> the double-encoding repair in utils/textfix.py
+    text = fix_mojibake(text)
     text = re.sub(r"\s+", " ", text)
     text = text.replace("BULLET::::", "").replace("SECTION::::", "")
     return text.strip()

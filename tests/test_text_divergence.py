@@ -1,0 +1,199 @@
+"""Characterize the text-pipeline substitutions (round-3 verdict, missing #3).
+
+The reference preprocesses with ftfy (``scripts/build_fm_index.py:51``) and
+tokenizes queries with spaCy's blank English tokenizer
+(``seal/retrieval.py:39-43`` -> ``seal/keys.py:38-51``).  Neither library is
+available offline, so this repo substitutes ``utils/textfix.fix_mojibake``
+and ``models/tokenizer.word_tokenize``.  These tests BOUND the behavioral
+delta instead of leaving it anecdotal:
+
+1. the mojibake classes ftfy would fix are fixed (executed),
+2. clean text -- including legitimately accented text -- is provably
+   untouched (executed, property-style),
+3. the inputs where ``word_tokenize`` and spaCy split differently are
+   pinned as a table, and the retrieval-relevant property (query keys stay
+   grounded in a same-pipeline corpus) is executed for every divergent
+   class,
+4. end to end: a mojibake-corrupted corpus becomes retrievable by clean
+   queries through the build CLI's ``clean_text``.
+
+Summary table lives in PARITY.md ("text-pipeline substitutions").
+"""
+
+import numpy as np
+import pytest
+
+from seal_tpu.cli.build_fm_index import clean_text
+from seal_tpu.models.tokenizer import word_tokenize
+from seal_tpu.utils.textfix import fix_mojibake, mojibake_signature
+
+# ---------------------------------------------------------------- ftfy class
+
+
+def _corrupt(s: str, rounds: int = 1) -> str:
+    """UTF-8 bytes misread as cp1252 (latin-1 for cp1252's holes)."""
+    for _ in range(rounds):
+        raw = s.encode("utf-8")
+        # read back as cp1252, latin-1 for cp1252's unmapped holes
+        s = "".join(
+            bytes([b]).decode("cp1252") if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D) else chr(b)
+            for b in raw
+        )
+    return s
+
+
+FIXABLE = [
+    "café",                       # 2-byte latin: é
+    "München über alles",         # ü twice
+    "don’t — “quoted”",           # 3-byte punctuation: ’ — “ ”
+    "naïve déjà vu",              # multiple accents in one string
+    "Ελλάδα",                     # Greek (2-byte, lead 0xCE)
+    "€99 • résumé",               # euro + bullet + accents
+]
+
+
+@pytest.mark.parametrize("clean", FIXABLE)
+def test_fixes_single_double_encoding(clean):
+    corrupted = _corrupt(clean)
+    assert corrupted != clean and mojibake_signature(corrupted) > 0
+    assert fix_mojibake(corrupted) == clean
+
+
+@pytest.mark.parametrize("clean", ["café", "don’t"])
+def test_fixes_nested_double_encoding(clean):
+    assert fix_mojibake(_corrupt(clean, rounds=2)) == clean
+    assert fix_mojibake(_corrupt(clean, rounds=3)) == clean
+
+
+CLEAN_NOOPS = [
+    "plain ascii text, nothing special.",
+    "déjà vu — already seen",     # legit accents + em dash
+    "À bientôt, señor Muñoz",     # uppercase accent at word start
+    "naïve façade, cœur, Å",      # oe ligature, Angstrom
+    "日本語のテキスト",               # CJK untouched
+    "x² + y³ = z⁴",               # superscripts
+    "©2026 Müller & Søn",         # symbols + legit accents
+    "",
+]
+
+
+@pytest.mark.parametrize("text", CLEAN_NOOPS)
+def test_clean_text_is_untouched(text):
+    assert fix_mojibake(text) == text
+
+
+def test_random_clean_sentences_untouched():
+    """Property: sentences assembled from real accented/punctuated words are
+    never rewritten.  (The residual ambiguity class -- an accented char
+    IMMEDIATELY followed by a curly quote/dash inside one word, e.g. the
+    literal 3-char string "é’“" -- is byte-identical to valid UTF-8 and
+    undecidable without a language model; ftfy shares it.  Word boundaries
+    are spaces, and a space breaks every such digraph, so word-shaped text
+    cannot trip the gate.)"""
+    rng = np.random.default_rng(0)
+    words = np.array(
+        "déjà vu café naïve don’t “quote” — em-dash São-Paulo coöperate "
+        "résumé №5 (sic) 100% £40 ¡hola! ¿qué? Müller françois señor "
+        "plain words 123 x².".split()
+    )
+    for _ in range(300):
+        s = " ".join(rng.choice(words, size=rng.integers(1, 25)))
+        assert fix_mojibake(s) == s
+
+
+def test_truncated_sequence_is_left_alone():
+    # a lone lead-byte image with no valid continuation -> whole-string
+    # decode fails -> conservative no-op (ftfy would also leave it)
+    broken = "caf" + "Ã"
+    assert fix_mojibake(broken) == broken
+
+
+# ------------------------------------------------------- spaCy tokenizer gap
+
+# Pinned divergence table: our regex tokenizer vs spaCy's blank English
+# tokenizer (expected outputs hand-derived from spacy.lang.en rules:
+# tokenizer_exceptions for contractions/abbreviations, prefix/suffix/infix
+# splitting, url_match).  spaCy is not importable offline, so the spaCy
+# column is documentation-pinned, NOT executed; the OURS column is executed
+# so any change to word_tokenize shows up here.
+DIVERGENCE = [
+    # (input, ours, spaCy blank English)
+    ("don't stop", ["don", "'", "t", "stop"], ["do", "n't", "stop"]),
+    ("U.S. policy", ["U", ".", "S", ".", "policy"], ["U.S.", "policy"]),
+    ("costs $5.30", ["costs", "$", "5", ".", "30"], ["costs", "$", "5.30"]),
+    (
+        "see https://x.org/a",
+        ["see", "https", ":", "/", "/", "x", ".", "org", "/", "a"],
+        ["see", "https://x.org/a"],
+    ),
+    ("well-known fact", ["well", "-", "known", "fact"], ["well", "-", "known", "fact"]),
+    ("(parenthetical)", ["(", "parenthetical", ")"], ["(", "parenthetical", ")"]),
+    ("plain words here", ["plain", "words", "here"], ["plain", "words", "here"]),
+]
+
+
+@pytest.mark.parametrize("text,ours,_spacy", DIVERGENCE)
+def test_word_tokenize_pinned(text, ours, _spacy):
+    assert word_tokenize(text) == ours
+
+
+def test_divergent_queries_stay_grounded():
+    """The retrieval-relevant property: ``decompose_query_into_keys`` joins
+    tokens with single spaces (as the reference does, ``keys.py:41-50``), so
+    NEITHER pipeline reproduces raw surface forms like ``don't`` -- what
+    matters is self-consistency: when the corpus is built through the same
+    ``--tokenize`` path, every <=3-token query span exists in the index.
+    Executed for each divergence class above."""
+    from seal_tpu.index import FMIndex
+    from seal_tpu.models.tokenizer import WordVocabTokenizer
+    from seal_tpu.scoring.keys import decompose_query_into_keys
+
+    texts = [" ".join(word_tokenize(t)) for t, _, _ in DIVERGENCE]
+    tok = WordVocabTokenizer.train([" " + t for t in texts])
+    docs = [tok.encode_plain(" " + t) + [tok.eos_token_id] for t in texts]
+    index = FMIndex()
+    index.initialize(docs, labels=[f"d{i}" for i in range(len(docs))])
+
+    for query, _, _ in DIVERGENCE:
+        keys = decompose_query_into_keys(query, length=3)
+        grounded = 0
+        for k in keys:
+            ids = tok.encode_plain(k)
+            if ids and index.get_count(ids) > 0:
+                grounded += 1
+        # every UNIQUE span in its original capitalization must be present
+        # (the capitalization-variant copies legitimately miss; duplicate
+        # spans -- e.g. the two "." in "U . S ." -- collapse in the key set)
+        toks = word_tokenize(query.strip())
+        uniq = {
+            " " + " ".join(toks[i:j])
+            for i in range(len(toks))
+            for j in range(i + 1, min(1 + len(toks), i + 4))
+        }
+        assert grounded >= len(uniq), (query, grounded, len(uniq))
+
+
+# ----------------------------------------------------------- end-to-end CLI
+
+
+def test_mojibake_corpus_retrievable_after_clean_text():
+    """A corrupted corpus row round-trips to retrievable clean text through
+    the build CLI's ``clean_text`` -- the precise failure ftfy exists to
+    prevent (clean query vs mojibake corpus = zero-count keys)."""
+    from seal_tpu.index import FMIndex
+    from seal_tpu.models.tokenizer import WordVocabTokenizer
+
+    clean_rows = ["the café on the corner", "münchen travel guide"]
+    corrupted = [_corrupt(t) for t in clean_rows]
+    cleaned = [clean_text(t) for t in corrupted]
+    assert cleaned == clean_rows
+
+    tok = WordVocabTokenizer.train([" " + t for t in cleaned])
+    docs = [tok.encode_plain(" " + t) + [tok.eos_token_id] for t in cleaned]
+    index = FMIndex()
+    index.initialize(docs, labels=["a", "b"])
+    assert index.get_count(tok.encode_plain(" café")) > 0
+    assert index.get_count(tok.encode_plain(" münchen")) > 0
+    # without the fix the same key has zero occurrences
+    raw = [clean_text(t.replace("café", _corrupt("café"))) for t in clean_rows]
+    assert raw[0] == clean_rows[0]  # clean_text undoes it even inline
