@@ -287,12 +287,21 @@ def main():
             (_, _), out_ = jax.lax.scan(step, (tok0, cache), jnp.arange(S, dtype=jnp.int32))
             return out_
 
+        def _force(out):
+            # host-transfer the SMALLEST output leaf: through the axon
+            # tunnel block_until_ready can return without waiting (selparts
+            # debugging, round 4), while transferring any one output buffer
+            # forces the whole executable to finish; picking the smallest
+            # keeps the transfer cost out of the measurement
+            leaves = jax.tree_util.tree_leaves(out)
+            np.asarray(min(leaves, key=lambda a: getattr(a, "size", 0)))
+
         def timed(fn, n=2):
-            jax.block_until_ready(fn())
+            _force(fn())
             ts = []
             for _ in range(n):
                 t0 = time.time()
-                jax.block_until_ready(fn())
+                _force(fn())
                 ts.append(time.time() - t0)
             return float(np.median(ts))
 

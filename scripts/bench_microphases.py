@@ -103,7 +103,9 @@ def main():
             out, _ = lax.scan(wrapped, init, jnp.arange(ITERS, dtype=jnp.int32))
             return out
 
-        return lambda: jax.block_until_ready(run(init, lp, lo, hi, toks, one_tok))
+        # np.asarray (host transfer), not block_until_ready: the latter can
+        # return without waiting through the axon tunnel (selparts round 4)
+        return lambda: np.asarray(run(init, lp, lo, hi, toks, one_tok))
 
     # data-dependence: fold a cheap reduction of the result into the carry
     # so XLA cannot hoist the op out of the scan.

@@ -80,6 +80,14 @@ def main():
     rows = batch * beam
     S = length - 1
 
+
+    def _force(out):
+        # host transfer of the smallest output leaf; block_until_ready can
+        # return without waiting through the axon tunnel (round 4)
+        import jax as _jax
+        leaves = _jax.tree_util.tree_leaves(out)
+        np.asarray(min(leaves, key=lambda a: getattr(a, "size", 0)))
+
     # ---- encoder + cross-KV ---------------------------------------------
     @jax.jit
     def enc_fn(params, ids, mask):
@@ -89,7 +97,7 @@ def main():
         ckv = bart.precompute_cross_kv(cfg, params, enc_t)
         return ckv, bart.encoder_bias(mask_t)
 
-    t_enc = timeit(lambda: jax.block_until_ready(enc_fn(params, ids, mask)))
+    t_enc = timeit(lambda: _force(enc_fn(params, ids, mask)))
 
     # ---- pure model scan (greedy feed, no constraints/selection) ---------
     @jax.jit
@@ -108,7 +116,7 @@ def main():
         (_, _), out = jax.lax.scan(step, (tok0, cache), jnp.arange(S, dtype=jnp.int32))
         return out
 
-    t_model = timeit(lambda: jax.block_until_ready(model_scan(params, ids, mask)))
+    t_model = timeit(lambda: _force(model_scan(params, ids, mask)))
 
     # ---- free decode (model + selection + history, no index) -------------
     def free():

@@ -95,7 +95,11 @@ def main():
             return out
 
         def call(*ops):
-            return lambda: jax.block_until_ready(run(init, *ops))
+            # np.asarray, not block_until_ready: through the axon tunnel
+            # block_until_ready can return without waiting (measured: every
+            # 300-iter program "took" 0.0 ms); a host transfer of the scalar
+            # carry forces completion
+            return lambda: np.asarray(run(init, *ops))
 
         return call
 

@@ -504,12 +504,64 @@ int64_t ac_match(const int32_t* pat_data, const int64_t* pat_off, int64_t n_pats
       q.push(child);
     }
   }
+  // --- flatten to CSR + root table for the scan ---------------------------
+  // The hash-map `step` costs ~150 ns/token (one uint64 hash probe per doc
+  // token even when the automaton never leaves the root, which is the
+  // common case); a direct-addressed root row + binary-searched per-node
+  // child arrays make the root transition one array read.
+  int32_t max_sym = 0;
+  for (int64_t k = 0; k < pat_off[n_pats]; ++k)
+    max_sym = std::max(max_sym, pat_data[k]);
+  std::vector<int32_t> child_off(ac.n_nodes + 1, 0);
+  for (auto& kv : ac.next) child_off[int32_t(kv.first >> 32) + 1]++;
+  for (int32_t n = 0; n < ac.n_nodes; ++n) child_off[n + 1] += child_off[n];
+  std::vector<int32_t> child_sym(ac.next.size()), child_node(ac.next.size());
+  {
+    std::vector<int32_t> cur(child_off.begin(), child_off.end() - 1);
+    for (auto& kv : ac.next) {
+      int32_t parent = int32_t(kv.first >> 32);
+      int32_t at = cur[parent]++;
+      child_sym[at] = int32_t(kv.first & 0xffffffffu);
+      child_node[at] = kv.second;
+    }
+    for (int32_t n = 0; n < ac.n_nodes; ++n) {
+      int32_t a = child_off[n], b = child_off[n + 1];
+      // insertion sort of the (tiny) child run by symbol
+      for (int32_t i = a + 1; i < b; ++i) {
+        int32_t s = child_sym[i], c = child_node[i];
+        int32_t j = i - 1;
+        for (; j >= a && child_sym[j] > s; --j) {
+          child_sym[j + 1] = child_sym[j];
+          child_node[j + 1] = child_node[j];
+        }
+        child_sym[j + 1] = s;
+        child_node[j + 1] = c;
+      }
+    }
+  }
+  std::vector<int32_t> root_next(size_t(max_sym) + 1, 0);
+  for (int32_t i = child_off[0]; i < child_off[1]; ++i)
+    root_next[child_sym[i]] = child_node[i];
+  auto trans = [&](int32_t node, int32_t sym) -> int32_t {
+    if (sym > max_sym) return 0;
+    while (node != 0) {
+      int32_t a = child_off[node], b = child_off[node + 1];
+      while (a < b) {
+        int32_t m = (a + b) >> 1;
+        if (child_sym[m] < sym) a = m + 1;
+        else b = m;
+      }
+      if (a < child_off[node + 1] && child_sym[a] == sym) return child_node[a];
+      node = ac.fail[node];
+    }
+    return root_next[sym];
+  };
   // --- scan documents ----------------------------------------------------
   int64_t found = 0;
   for (int64_t d = 0; d < n_docs; ++d) {
     int32_t node = 0;
     for (int64_t k = doc_off[d]; k < doc_off[d + 1]; ++k) {
-      node = ac.step(node, doc_data[k]);
+      node = trans(node, doc_data[k]);
       for (int32_t o = ac.out_head[node]; o != -1; o = ac.out_next[o]) {
         int64_t pat = ac.out_pat[o];
         int64_t plen = pat_off[pat + 1] - pat_off[pat];

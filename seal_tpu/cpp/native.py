@@ -80,7 +80,12 @@ class Native:
         doc_data, doc_off = self._flatten(docs)
         n_pats, n_docs = pat_off.size - 1, doc_off.size - 1
 
-        cap = max(1024, 4 * n_docs)
+        # high-water-mark cap: an undersized buffer costs a FULL second
+        # matching pass (the C side only counts past out_cap), and with
+        # unigram patterns the triple count is routinely 10-20k per query
+        # vs the old 4*n_docs=2k guess; queries in a batch are similar, so
+        # remember the largest count seen
+        cap = max(1024, 4 * n_docs, getattr(self, "_ac_cap", 0))
         while True:
             out = np.empty((cap, 3), np.int64)
             n = self._lib.ac_match(
@@ -94,6 +99,7 @@ class Native:
                 ctypes.c_int64(cap),
             )
             if n <= cap:
+                self._ac_cap = max(getattr(self, "_ac_cap", 0), int(n))
                 return out[:n]
             cap = int(n)
 

@@ -813,6 +813,10 @@ class SEALSearcher:
             ngrams_and_scores=keys,
             unigram_scores=unigram_scores,
             range_fn=self._device_ranges if use_device else None,
+            # matched-ngram lists are only read downstream under
+            # include_keys (batch_search) or DEBUG printing; skipping
+            # their construction cuts ~30% of aggregate wall time
+            collect_found=self.include_keys or DEBUG,
             index=self.fm_index,
             max_occurrences_1=self.max_hits,
             n_docs_complete_score=self.fully_score,
