@@ -389,7 +389,14 @@ def _exact_topk(x, k: int, blk: int = 64, assume_finite: bool = False):
     bm = jnp.max(xblk, axis=-1)
     _, bidx = lax.top_k(bm, k)
     bidx = jnp.sort(bidx, axis=-1)
-    if x.shape[0] * k * nb * 4 <= (256 << 20):
+    if x.shape[0] * k * nb * 4 <= (1 << 30):
+        # one-hot matmul gather wins at BOTH operating shapes (v5e, round 4
+        # selparts A/B): [480, 50265] k=64 1.53 ms vs 1.81 take_along /
+        # 3.00 flat-take / 5.83 TopK; [2048, 50265] 7.3 ms vs 11.7
+        # take_along.  The old 256 MB guard routed the beam-32/batch-64
+        # class to take_along and cost config5 ~4.4 ms/step; the one-hot
+        # operand there is 824 MB of transient HBM -- fine on a 16 GB chip,
+        # so the guard now only protects truly degenerate shapes
         onehot = (bidx[:, :, None] == jnp.arange(nb, dtype=jnp.int32)).astype(
             jnp.float32
         )
@@ -401,9 +408,6 @@ def _exact_topk(x, k: int, blk: int = 64, assume_finite: bool = False):
             preferred_element_type=jnp.float32,
         )  # [rows, k, blk] == xblk[r, bidx[r, :], :], exactly
     else:
-        # the one-hot operand would not fit comfortably in HBM traffic at
-        # this shape (beam-32/batch-64 class); the axis-1 row gather is
-        # within ~10% of the matmul at bench shapes and O(rows*k*blk) memory
         g = jnp.take_along_axis(xblk, bidx[:, :, None], axis=1)
     cols = (bidx[:, :, None] * blk + jnp.arange(blk, dtype=bidx.dtype)).reshape(
         x.shape[0], k * blk
