@@ -169,6 +169,10 @@ def main():
         log_unigram - log_unigram.mean()
     ).astype(np.float32)
     params = convert.apply_seal_logits_bias(params, cfg)
+    # serve from bf16 weight copies: halves per-step HBM weight traffic
+    from seal_tpu.models.api import cast_params
+
+    params = cast_params(cfg, params)
 
     # ---- queries: batch 32, beam 15, length 10 ---------------------------
     batch, beam, length = 32, 15, 10

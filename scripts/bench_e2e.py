@@ -43,6 +43,9 @@ def main():
     cfg = dataclasses.replace(bart_large(), dtype="bfloat16")
     params = bart.init_params(jax.random.PRNGKey(0), cfg)
     params = convert.apply_seal_logits_bias(params, cfg)
+    from seal_tpu.models.api import cast_params
+
+    params = cast_params(cfg, params)  # bf16 weight copies, as bench.py
 
     searcher = SEALSearcher(
         index, tok, cfg, params,

@@ -64,6 +64,9 @@ def main():
         log_u - log_u.mean()
     ).astype(np.float32)
     params = convert.apply_seal_logits_bias(params, cfg)
+    from seal_tpu.models.api import cast_params
+
+    params = cast_params(cfg, params)  # bf16 weight copies, as bench.py
 
     batch, beam, length = 32, 15, 10
     queries = [

@@ -60,6 +60,9 @@ def main():
         log_unigram - log_unigram.mean()
     ).astype(np.float32)
     params = convert.apply_seal_logits_bias(params, cfg)
+    from seal_tpu.models.api import cast_params
+
+    params = cast_params(cfg, params)  # bf16 weight copies, as bench.py
 
     queries = [
         [0] + rng.integers(4, vocab, size=12).tolist() + [2] for _ in range(batch)

@@ -303,8 +303,19 @@ def decode_full(cfg: BartConfig, params: Params, enc_out, enc_mask, decoder_inpu
 
 
 def lm_logits(cfg: BartConfig, params: Params, hidden):
-    """Tied LM head: hidden @ shared.T + final_logits_bias."""
-    logits = hidden.astype(jnp.float32) @ params["shared"].T.astype(jnp.float32)
+    """Tied LM head: hidden @ shared.T + final_logits_bias.
+
+    Runs in the compute dtype with float32 accumulation: bit-identical to
+    the old explicit float32 upcast for float32 configs, while bfloat16
+    serving keeps the [V, d] table -- the single largest weight read of
+    every decode step -- in 16-bit HBM traffic and on the MXU's fast path.
+    """
+    dt = cfg.compute_dtype
+    logits = jnp.matmul(
+        hidden.astype(dt),
+        params["shared"].astype(dt).T,
+        preferred_element_type=jnp.float32,
+    )
     return logits + params["final_logits_bias"]
 
 

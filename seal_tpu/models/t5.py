@@ -270,9 +270,15 @@ def empty_self_cache(cfg: T5Config, batch: int, max_len: int):
 
 
 def lm_logits(cfg: T5Config, params: Params, hidden):
+    # compute-dtype matmul, float32 accumulation (see bart.lm_logits)
     if cfg.tie_word_embeddings:
         hidden = hidden * (cfg.d_model ** -0.5)
-    return hidden.astype(jnp.float32) @ params["shared"].T.astype(jnp.float32)
+    dt = cfg.compute_dtype
+    return jnp.matmul(
+        hidden.astype(dt),
+        params["shared"].astype(dt).T,
+        preferred_element_type=jnp.float32,
+    )
 
 
 def decode_full(cfg: T5Config, params: Params, enc_out, enc_mask, decoder_input_ids,

@@ -140,10 +140,24 @@ class SEALSearcher:
         self.fm_index = fm_index
         self.tokenizer = tokenizer
         self.model_cfg = model_cfg
-        self.params = params
-        self.scorer_params = scorer_params if scorer_params is not None else params
-        self.title_params = title_params if title_params is not None else params
-        self.code_params = code_params if code_params is not None else params
+        # bfloat16 configs serve from compute-dtype weight copies: float32
+        # masters would stream 2x the HBM bytes per decode step (no-op for
+        # float32 configs; deduped so shared param trees are cast once)
+        from seal_tpu.models.api import cast_params
+
+        _cast_memo: Dict[int, object] = {}
+
+        def _cast(p):
+            if p is None:
+                return None
+            if id(p) not in _cast_memo:
+                _cast_memo[id(p)] = cast_params(model_cfg, p)
+            return _cast_memo[id(p)]
+
+        self.params = _cast(params)
+        self.scorer_params = _cast(scorer_params) if scorer_params is not None else self.params
+        self.title_params = _cast(title_params) if title_params is not None else self.params
+        self.code_params = _cast(code_params) if code_params is not None else self.params
         self.sharded_index = sharded_index
         self.mesh = mesh
         if sharded_index is not None:
