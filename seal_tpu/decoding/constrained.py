@@ -291,28 +291,25 @@ def _candidates_general(
     """
     B, K = lo.shape
     V = lp.shape[-1]
-    lp = lp.reshape(B, K, V)
 
     if cfg.exact_mask and not cfg.disable_fm_index:
         # dense parity mode: the candidate set is the whole vocab
         counts = ops.dense_counts(lo, hi, cfg.dense_chunk)  # [B,K,V]
         tokens = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32), (B, K, V))
         fm_valid = counts > 0
-        cand_lp = lp
+        cand_lp = lp.reshape(B, K, V)
         return _apply_branches(cfg, tokens, fm_valid, cand_lp, prev_count, finished)
 
     if cfg.disable_fm_index:
         # free generation must reproduce exact beam search: use exact top-k
         # (block-decomposed; bit-identical to lax.top_k, see _exact_topk)
-        top_lp, top_tok = _exact_topk(
-            lp.reshape(B * K, V), cfg.top_m, blk=32, assume_finite=True
-        )
+        top_lp, top_tok = _exact_topk(lp, cfg.top_m, blk=32, assume_finite=True)
         tokens = top_tok.reshape(B, K, -1).astype(jnp.int32)
         top_lp = top_lp.reshape(B, K, -1)
         fm_valid = jnp.ones(tokens.shape, bool)
         return _apply_branches(cfg, tokens, fm_valid, top_lp, prev_count, finished)
 
-    # --- loop-invariant candidate slots ------------------------------------
+    # --- loop-invariant candidate slots (lp stays FLAT [B*K, V]) -----------
     (win_tok, win_valid, win_lp, eos_tok, eos_lp, pad_tok, pad_lp) = _exact_slots(
         ops, cfg, lp, lo, hi
     )
@@ -323,7 +320,8 @@ def _candidates_general(
         # proposal set, never produces an invalid key.
         eos_ok = ops.contains(eos_tok, lo, hi)
         top_lp, top_tok = lax.approx_max_k(lp, cfg.top_m, recall_target=0.95)
-        top_tok = top_tok.astype(jnp.int32)
+        top_tok = top_tok.reshape(B, K, -1).astype(jnp.int32)
+        top_lp = top_lp.reshape(B, K, -1)
         top_valid = ops.contains(top_tok, lo, hi)
     else:
         # the EOS column rides the hoisted first proposal round's rank call
@@ -346,15 +344,25 @@ def _candidates_general(
 def _exact_slots(ops, cfg: DecodeConfig, lp, lo, hi):
     """Loop-invariant candidate slots shared by every proposal path:
     the exhaustive small-interval window plus explicit EOS/PAD slots
-    (PAD is in no corpus; EOS is handled by the branch logic)."""
+    (PAD is in no corpus; EOS is handled by the branch logic).
+
+    ``lp`` is FLAT [B*K, V]: a [B, K, V] view forces XLA to re-tile the
+    whole matrix ([15, 50265] trailing dims tile-pad 15 -> 16 -- a 96 MB
+    physical copy per step in the round-4 device trace), so every V-wide
+    read here indexes the natural 2-D layout and only the narrow outputs
+    reshape to [B, K, ...].
+    """
     B, K = lo.shape
     win_tok, win_valid = ops.window(lo, hi, cfg.window)
     win_tok = jnp.where(win_valid, win_tok, cfg.pad_token_id).astype(jnp.int32)
-    win_lp = jnp.take_along_axis(lp, win_tok, axis=-1)
+    w = win_tok.shape[-1]
+    win_lp = jnp.take_along_axis(lp, win_tok.reshape(B * K, w), axis=-1).reshape(
+        B, K, w
+    )
     eos_tok = jnp.full((B, K, 1), cfg.eos_token_id, jnp.int32)
-    eos_lp = lp[..., cfg.eos_token_id][..., None]
+    eos_lp = lp[:, cfg.eos_token_id].reshape(B, K, 1)
     pad_tok = jnp.full((B, K, 1), cfg.pad_token_id, jnp.int32)
-    pad_lp = lp[..., cfg.pad_token_id][..., None]
+    pad_lp = lp[:, cfg.pad_token_id].reshape(B, K, 1)
     return win_tok, win_valid, win_lp, eos_tok, eos_lp, pad_tok, pad_lp
 
 
@@ -381,43 +389,59 @@ def _exact_topk(x, k: int, blk: int = 64, assume_finite: bool = False):
     nb = -(-V // blk)
     if k * blk * 2 >= V or x.ndim != 2:
         return lax.top_k(x, k)
+    rows = x.shape[0]
     fmin = float(np.finfo(np.float32).min)
     xs = x if assume_finite else jnp.maximum(x, fmin)
+    # block maxes via reduce_window: the earlier pad+reshape+max formulation
+    # made XLA materialize a COLUMN-MAJOR copy of the whole [rows, V] input
+    # to feed the pad (round-4 device trace: transpose copy 0.31 ms/step +
+    # pad 0.25 ms/step at the bench shape) -- reduce_window pads virtually
+    bm = lax.reduce_window(
+        xs, fmin, lax.max, (1, blk), (1, blk), ((0, 0), (0, nb * blk - V))
+    )
+    _, bidx = lax.top_k(bm, k)
+    bidx = jnp.sort(bidx, axis=-1)
     pad = nb * blk - V
     xp = jnp.pad(xs, ((0, 0), (0, pad)), constant_values=fmin) if pad else xs
     xblk = xp.reshape(-1, nb, blk)
-    bm = jnp.max(xblk, axis=-1)
-    _, bidx = lax.top_k(bm, k)
-    bidx = jnp.sort(bidx, axis=-1)
-    if x.shape[0] * k * nb * 4 <= (1 << 30):
+    if rows * k * nb * 4 <= (1 << 30):
         # one-hot matmul gather wins at BOTH operating shapes (v5e, round 4
         # selparts A/B): [480, 50265] k=64 1.53 ms vs 1.81 take_along /
         # 3.00 flat-take / 5.83 TopK; [2048, 50265] 7.3 ms vs 11.7
         # take_along.  The old 256 MB guard routed the beam-32/batch-64
         # class to take_along and cost config5 ~4.4 ms/step; the one-hot
         # operand there is 824 MB of transient HBM -- fine on a 16 GB chip,
-        # so the guard now only protects truly degenerate shapes
+        # so the guard now only protects truly degenerate shapes.
+        # Contraction order: xblk's nb axis is its SECOND-minor -- the
+        # natural row-major rhs of a matmul -- so contracting (xblk, onehot)
+        # and transposing the small [rows, blk, k] result keeps the big
+        # operand in x's native layout instead of re-tiling 96 MB
         onehot = (bidx[:, :, None] == jnp.arange(nb, dtype=jnp.int32)).astype(
             jnp.float32
         )
-        g = lax.dot_general(
-            onehot,
+        gt = lax.dot_general(
             xblk,
-            (((2,), (1,)), ((0,), (0,))),
+            onehot,
+            (((1,), (2,)), ((0,), (0,))),
             precision=lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
-        )  # [rows, k, blk] == xblk[r, bidx[r, :], :], exactly
+        )  # [rows, blk, k]; gt[r, :, j] == xblk[r, bidx[r, j], :], exactly
+        g = jnp.swapaxes(gt, 1, 2)
     else:
         g = jnp.take_along_axis(xblk, bidx[:, :, None], axis=1)
-    cols = (bidx[:, :, None] * blk + jnp.arange(blk, dtype=bidx.dtype)).reshape(
-        x.shape[0], k * blk
-    )
-    v, i = lax.top_k(g.reshape(x.shape[0], k * blk), k)
-    idx = jnp.take_along_axis(cols, i, axis=-1)
+    v, i = lax.top_k(g.reshape(rows, k * blk), k)
+    # original column ids arithmetically: i = j * blk + off addresses the
+    # j-th chosen block -- a [rows, k]-from-[rows, k] selection (_sel1)
+    # replaces the round-4-trace 0.31 ms/step scalar gather of a
+    # precomputed [rows, k*blk] cols table
+    j = i // blk
+    idx = _sel1(bidx, j) * blk + (i - j * blk)
     if not assume_finite:
         # clamped -inf entries sort identically (nothing is below fmin) but
-        # must report their true value: re-read the k winners from x
-        v = jnp.take_along_axis(x, idx, axis=-1)
+        # must report their true value.  Exact because a genuine x value can
+        # never EQUAL float32.min here: callers feed log-prob-derived scores
+        # (bounded far above fmin) or NEG_INF (= fmin/2) sentinels
+        v = jnp.where(v == fmin, -jnp.inf, v)
     return v, idx
 
 
@@ -456,8 +480,11 @@ def _exact_proposals(
     natural LM distributions the LM sweep satisfies everything in one round.
     This is the device equivalent of the reference's exact
     ``interval_symbols`` masks (``fm_index.cpp:78-131``).
+
+    ``lp`` is FLAT [B*K, V] (see _exact_slots on why).
     """
-    B, K, V = lp.shape
+    B, K = lo.shape
+    V = lp.shape[-1]
     two_k = 2 * cfg.num_beams
     # sampling draws from the whole allowed distribution, so give it the
     # full top_m budget; beam modes only ever select 2K candidates
@@ -491,7 +518,9 @@ def _exact_proposals(
         # superset of the pruned one), so satisfied steps never pay for it.
         # ``bcounts`` is computed once (round 1) and loop-carried.
         def pruned(bc):
-            support = jnp.take(bc, v_bucket, axis=-1) > 0  # [B, K, V]
+            support = (
+                jnp.take(bc.reshape(B * K, -1), v_bucket, axis=-1) > 0
+            )  # [B*K, V]
             return jnp.where(support, lp, NEG_INF)
 
         return lax.cond(it >= 1, pruned, lambda _: lp, bcounts)
@@ -511,7 +540,9 @@ def _exact_proposals(
         s_hi = jnp.minimum(s_lo + width, hi)
         slab_tok, slab_ok = ops.window(s_lo, s_hi, width)
         slab_tok = jnp.where(slab_ok, slab_tok, 0).astype(jnp.int32)
-        slab_lp = jnp.take_along_axis(lp, slab_tok, axis=-1)
+        slab_lp = jnp.take_along_axis(
+            lp, slab_tok.reshape(B * K, width), axis=-1
+        ).reshape(B, K, width)
         slab_ok = slab_ok & (slab_lp > NEG_INF / 2)
 
         # merge: back-fill the buffer with this round's validated tokens.
@@ -533,12 +564,13 @@ def _exact_proposals(
         fresh = _dedup_mask(uniq)
         rank_score = jnp.where(all_valid & fresh, all_lp, NEG_INF)
         # retention by (lp desc[, token asc under exact_ties]) -- invalid
-        # slots carry unique ids >= V and NEG_INF scores: they sort last
+        # slots carry unique ids >= V and NEG_INF scores: they sort last.
+        # _sel1: masked reductions instead of three scalar-gather streams
         keep = _top_idx(cfg, rank_score, uniq, n_buf)
         return (
-            jnp.take_along_axis(all_tok, keep, -1),
-            jnp.take_along_axis(all_lp, keep, -1),
-            jnp.take_along_axis(all_valid & fresh, keep, -1),
+            _sel1(all_tok, keep),
+            _sel1(all_lp, keep),
+            _sel1(all_valid & fresh, keep),
         )
 
     def round0_state():
@@ -552,9 +584,7 @@ def _exact_proposals(
         # block-decomposed exact top-k (bit-identical to lax.top_k, ~2.6x
         # faster at vocab scale on v5e); lp is a log-softmax output, hence
         # -inf-free
-        top_lp0, top_tok0 = _exact_topk(
-            lp.reshape(B * K, V), chunk, blk=32, assume_finite=True
-        )
+        top_lp0, top_tok0 = _exact_topk(lp, chunk, blk=32, assume_finite=True)
         top_tok0 = top_tok0.reshape(B, K, chunk).astype(jnp.int32)
         top_lp0 = top_lp0.reshape(B, K, chunk)
         ok0 = ops.contains(jnp.concatenate([top_tok0, eos_tok], -1), lo, hi)
@@ -608,12 +638,12 @@ def _exact_proposals(
             bcounts = lax.cond(
                 it == 1, lambda _: ops.bucket_counts(lo, hi), lambda _: bcounts, None
             )
-            base = proposal_lp(it, bcounts)
-            consumed = (base > th_lp[..., None]) | (
-                (base == th_lp[..., None]) & (v_idx <= th_ix[..., None])
-            )
+            base = proposal_lp(it, bcounts)  # [B*K, V]
+            th_lp_f = th_lp.reshape(B * K, 1)
+            th_ix_f = th_ix.reshape(B * K, 1)
+            consumed = (base > th_lp_f) | ((base == th_lp_f) & (v_idx <= th_ix_f))
             work = jnp.where(consumed, NEG_INF, base)
-            top_lp, top_tok = lax.top_k(work.reshape(B * K, V), chunk_l)
+            top_lp, top_tok = lax.top_k(work, chunk_l)
             top_tok = top_tok.reshape(B, K, chunk_l).astype(jnp.int32)
             top_lp = top_lp.reshape(B, K, chunk_l)
             ok = ops.contains(top_tok, lo, hi)
@@ -721,9 +751,10 @@ def _fast_exact_select(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished,
     step re-runs full in both designs.
     """
     B = lo.shape[0]
-    lp3 = lp.reshape(B, K, V)
+    # lp stays FLAT [B*K, V] through the whole proposal machinery: a
+    # [B, K, V] view costs a 96 MB re-tiling copy per step (_exact_slots)
     (win_tok, win_valid, win_lp, eos_tok, eos_lp, pad_tok, pad_lp) = _exact_slots(
-        ops, cfg, lp3, lo, hi
+        ops, cfg, lp, lo, hi
     )
 
     def build_and_select(buf_tok, buf_lp, buf_valid, eos_ok):
@@ -757,12 +788,12 @@ def _fast_exact_select(ops, cfg: DecodeConfig, lp, lo, hi, prev_count, finished,
         # minority of decodes (see ``fallback_steps`` in BeamSearchOutput
         # -- the observability for exactly this).
         bt, bl, bv, eo = _exact_proposals(
-            ops, cfg, lp3, lo, hi, prev_count, finished, pad_lp, eos_tok
+            ops, cfg, lp, lo, hi, prev_count, finished, pad_lp, eos_tok
         )
         return build_and_select(bt, bl, bv, eo)[:8], jnp.zeros((), bool)
 
     buf_tok, buf_lp, buf_valid, eos_ok, need, th_lp = _exact_proposals(
-        ops, cfg, lp3, lo, hi, prev_count, finished, pad_lp, eos_tok,
+        ops, cfg, lp, lo, hi, prev_count, finished, pad_lp, eos_tok,
         round0_only=True,
     )
     fast = build_and_select(buf_tok, buf_lp, buf_valid, eos_ok)
@@ -863,6 +894,33 @@ def _top_idx(cfg: DecodeConfig, score, tie_id, k: int):
     return idx
 
 
+def _sel1(arr, idx):
+    """``jnp.take_along_axis(arr, idx, axis=-1)`` for NARROW last dims, as a
+    masked reduction instead of a gather.
+
+    A take_along_axis of m elements per row lowers to the TPU's serialized
+    scalar-gather path (~14 ns/element regardless of operand size -- round-4
+    device trace: the [B,K,158] merge keeps and [B,2K] selection reads were
+    each ~0.2-0.4 ms/step).  For small n the same selection is a compare +
+    select + reduce over ``[..., m, n]`` -- pure VPU work that XLA fuses into
+    one loop.  Exact: one lane matches per output (callers guarantee
+    in-range indices), every other lane holds the reduction identity, so
+    integers sum to the selected value and floats max against -inf (which
+    preserves -0.0 and -inf payloads bit-for-bit -- a masked SUM would turn
+    -0.0 into +0.0 and break the sign-sensitive tie bitcast in
+    ``_top_by_score_then_id``).  Only worth it for n up to a few thousand:
+    the mask is [..., m, n].
+    """
+    n = arr.shape[-1]
+    mask = idx[..., None] == jnp.arange(n, dtype=jnp.int32)
+    row = arr[..., None, :]
+    if arr.dtype == jnp.bool_:
+        return jnp.any(mask & row, axis=-1)
+    if jnp.issubdtype(arr.dtype, jnp.integer):
+        return jnp.where(mask, row, 0).sum(axis=-1).astype(arr.dtype)
+    return jnp.where(mask, row, -jnp.inf).max(axis=-1)
+
+
 def _dedup_mask(tokens):
     """Within each beam's candidate list, keep one instance per token id.
 
@@ -909,9 +967,10 @@ def _select(cfg: DecodeConfig, cons_scores, uncons_scores, tokens, K, vocab: int
     top_idx = _top_idx(
         cfg, flat_cons, _beam_tok_tie(flat_tok, ncand, vocab), 2 * K
     )  # [B, 2K]
-    top_cons = jnp.take_along_axis(flat_cons, top_idx, axis=-1)
-    top_tok = jnp.take_along_axis(flat_tok, top_idx, axis=-1)
-    top_uncons = jnp.take_along_axis(flat_uncons, top_idx, axis=-1)
+    # _sel1 masked reductions: the candidate axis is narrow (K * ~100)
+    top_cons = _sel1(flat_cons, top_idx)
+    top_tok = _sel1(flat_tok, top_idx)
+    top_uncons = _sel1(flat_uncons, top_idx)
     top_parent = (top_idx // ncand).astype(jnp.int32)
 
     # continuing beams: first K candidates whose token != EOS, in order
@@ -919,10 +978,10 @@ def _select(cfg: DecodeConfig, cons_scores, uncons_scores, tokens, K, vocab: int
     order = jnp.argsort(~non_eos, axis=-1, stable=True)
     cont = order[:, :K]
     finite = top_cons > NEG_INF / 4
-    sel_tok = jnp.take_along_axis(top_tok, cont, axis=-1)
-    sel_parent = jnp.take_along_axis(top_parent, cont, axis=-1)
-    sel_uncons = jnp.take_along_axis(top_uncons, cont, axis=-1)
-    sel_finite = jnp.take_along_axis(finite, cont, axis=-1)
+    sel_tok = _sel1(top_tok, cont)
+    sel_parent = _sel1(top_parent, cont)
+    sel_uncons = _sel1(top_uncons, cont)
+    sel_finite = _sel1(finite, cont)
     return (
         top_tok,
         top_parent,

@@ -96,8 +96,13 @@ def _searchsorted_impl(index: DeviceFMIndex, lo, hi, pos, want_val: bool):
     row = lo + hit.sum(-1).astype(jnp.int32)
     if not want_val:
         return row, None
-    # row <= lo + 128 < (b0 << 7) + 256: always inside the gathered rows
-    val = jnp.take_along_axis(vals, (row - (b0 << 7))[..., None], axis=-1)[..., 0]
+    # row <= lo + 128 < (b0 << 7) + 256: always inside the gathered rows.
+    # Masked sum instead of take_along_axis: the 1-of-256 pick was the
+    # single biggest constraint-op gather in the round-4 device trace
+    # (0.44 ms/step at the bench decode shape, serialized scalar-gather
+    # path); the compare+select+reduce over rows already in registers is
+    # VPU work XLA fuses with ``hit``.  Exact: one lane matches.
+    val = jnp.where(idx == row[..., None], vals, 0).sum(-1).astype(vals.dtype)
     return row, val
 
 
