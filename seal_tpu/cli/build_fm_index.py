@@ -20,14 +20,15 @@ import csv
 import re
 import sys
 
-from seal_tpu.utils.textfix import fix_mojibake
+from seal_tpu.utils.textfix import fix_text
 
 
 def clean_text(text: str) -> str:
     # reference build_fm_index.py:50-54; ftfy.fix_text is replaced by the
-    # conservative double-encoding repair in utils/textfix.py (divergence
-    # characterized in tests/test_text_divergence.py + PARITY.md)
-    text = fix_mojibake(text)
+    # HTML-entity unescape + conservative double-encoding repair in
+    # utils/textfix.py (divergence characterized in
+    # tests/test_text_divergence.py + PARITY.md)
+    text = fix_text(text)
     text = re.sub(r"\s+", " ", text)
     text = text.replace("BULLET::::", "").replace("SECTION::::", "")
     return text.strip()

@@ -539,10 +539,15 @@ def _exact_proposals(
         s_lo = jnp.minimum(lo + rows_prev, hi)
         s_hi = jnp.minimum(s_lo + width, hi)
         slab_tok, slab_ok = ops.window(s_lo, s_hi, width)
+        # sharded ops return the psum-union of n_shards * width columns
+        # (sharded_decode.ShardedIndexOps.window); use the ACTUAL returned
+        # width, not the per-shard request width (round-4 regression:
+        # reshape(B*K, width) crashed every n_shards >= 2 decode at trace)
+        w_out = slab_tok.shape[-1]
         slab_tok = jnp.where(slab_ok, slab_tok, 0).astype(jnp.int32)
         slab_lp = jnp.take_along_axis(
-            lp, slab_tok.reshape(B * K, width), axis=-1
-        ).reshape(B, K, width)
+            lp, slab_tok.reshape(B * K, w_out), axis=-1
+        ).reshape(B, K, w_out)
         slab_ok = slab_ok & (slab_lp > NEG_INF / 2)
 
         # merge: back-fill the buffer with this round's validated tokens.

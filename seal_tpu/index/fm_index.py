@@ -200,12 +200,28 @@ class FMIndex:
     def occurrences(self, ngram: Sequence[int], cap: int, rng: Optional[Tuple[int, int]] = None):
         """Up to ``cap`` occurrence positions of ``ngram``: (tok_ends, doc_ids)
         as int64 arrays (reversed-text coordinates; the ranker's stage-1
-        feed).  ``rng`` short-circuits the range computation."""
+        feed).  ``rng`` short-circuits the range computation.
+
+        Rows are returned in CANONICAL order: ascending doc id, within-doc
+        SA order.  Within one doc, two occurrence suffixes always compare
+        within the doc (the later one hits the doc-ending sentinel first),
+        so within-doc SA order is corpus-layout-independent -- which makes
+        this ordering identical between a monolithic index and any sharded
+        partition of the same documents (``UnionHostIndex.occurrences``
+        merges per-shard lists in the same order).  The reference visits
+        rows in raw SA order (``keys.py:320-326``); stage-1's per-doc
+        coverage/credit state is provably order-invariant across doc
+        interleavings (positions of distinct docs are disjoint), so the
+        canonical order changes only equal-score tie-breaking.  Truncation
+        at ``cap`` happens in SA order BEFORE the doc sort (it never fires
+        in the ranker: rare ngrams have count <= max_occurrences_1 == cap).
+        """
         lo, hi = rng if rng is not None else self.get_range(list(ngram))
         n = min(hi - lo, cap)
         tok_ends = np.asarray(self.sa[lo : lo + n], dtype=np.int64)
         doc_ids = np.searchsorted(self.doc_boundaries(), tok_ends, side="right") - 1
-        return tok_ends, doc_ids
+        order = np.argsort(doc_ids, kind="stable")
+        return tok_ends[order], doc_ids[order]
 
     def occurrences_multi(self, ngrams, cap: int, rngs):
         """Batched :meth:`occurrences`: ONE flat SA gather + ONE
@@ -216,7 +232,8 @@ class FMIndex:
         them cached).  Returns (tok_ends int64 [total], doc_ids int64
         [total], row_off int64 [len+1]) with rows of ngram ``g`` at
         ``row_off[g]:row_off[g+1]`` -- identical content and order to
-        per-ngram ``occurrences`` calls.
+        per-ngram ``occurrences`` calls (canonical per-ngram order:
+        doc id asc, within-doc SA order; see :meth:`occurrences`).
         """
         k = len(ngrams)
         lo = np.fromiter((r[0] for r in rngs), np.int64, k)
@@ -234,7 +251,11 @@ class FMIndex:
             self.sa[flat].astype(np.int64) if total else np.zeros(0, np.int64)
         )
         doc_ids = np.searchsorted(self.doc_boundaries(), tok_ends, side="right") - 1
-        return tok_ends, doc_ids, row_off
+        # one stable lexsort canonicalizes every segment at once:
+        # primary = segment, secondary = doc id, residual = SA order
+        seg = np.repeat(np.arange(k, dtype=np.int64), ns)
+        order = np.lexsort((np.arange(total, dtype=np.int64), doc_ids, seg))
+        return tok_ends[order], doc_ids[order], row_off
 
     def token_range(self, token: int) -> Tuple[int, int]:
         """O(1) row range of a single token: one backward step from the full

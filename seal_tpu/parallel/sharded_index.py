@@ -312,22 +312,34 @@ class UnionHostIndex:
         return sum(h.token_count(token) for h in self.hosts)
 
     def occurrences(self, ngram, cap: int, rng=None):
+        """Occurrence rows in the CANONICAL order (global doc id asc,
+        within-doc SA order) -- identical sequence to the monolithic
+        ``FMIndex.occurrences`` over the same documents, for any shard
+        count: within-doc SA order is corpus-layout-independent (same-doc
+        suffix comparisons always resolve inside the doc), each shard
+        already returns doc-sorted rows, and a stable global doc sort
+        merges them.  This is what makes sharded ranking bit-identical to
+        monolithic ranking end-to-end (round-5 verdict #8).  Truncation at
+        ``cap`` applies AFTER the merge (global first-``cap`` by canonical
+        order); the ranker never truncates (rare ngrams have
+        count <= cap), so the monolithic SA-order-truncation difference is
+        unreachable there.
+        """
         del rng  # surrogate ranges carry no positions; compute per shard
         ends, docs = [], []
-        remaining = cap
         for s, h in enumerate(self.hosts):
-            if remaining <= 0:
-                break
-            e, d = h.occurrences(ngram, remaining)
+            e, d = h.occurrences(ngram, cap)
             if len(e) == 0:
                 continue
             ends.append(e + int(self.offsets[s]))
             gmap = np.asarray(self.assignments[s], dtype=np.int64)
             docs.append(gmap[d])
-            remaining -= len(e)
         if not ends:
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
-        return np.concatenate(ends), np.concatenate(docs)
+        ends_a = np.concatenate(ends)
+        docs_a = np.concatenate(docs)
+        order = np.argsort(docs_a, kind="stable")[:cap]
+        return ends_a[order], docs_a[order]
 
     def get_doc(self, doc_index: int):
         s, local = self._where[doc_index]

@@ -23,7 +23,7 @@ from typing import Dict, Iterable, Iterator, Optional, Tuple
 
 import numpy as np
 
-from seal_tpu.utils.textfix import fix_mojibake
+from seal_tpu.utils.textfix import fix_text
 
 # English stopwords (standard list; NLTK is unavailable offline)
 STOPWORDS = set(
@@ -50,8 +50,8 @@ def fuzz_ratio(a: str, b: str) -> int:
 
 def clean(text: str) -> str:
     # ftfy.fix_text (reference make_supervised_{dpr,kilt}_dataset.py:125/128)
-    # -> the double-encoding repair in utils/textfix.py
-    text = fix_mojibake(text)
+    # -> HTML-entity unescape + double-encoding repair in utils/textfix.py
+    text = fix_text(text)
     text = re.sub(r"\s+", " ", text)
     text = text.replace("BULLET::::", "").replace("SECTION::::", "")
     return text.strip()

@@ -13,14 +13,16 @@ a mojibake-signature count strictly decreases, so clean text (including
 legitimate accented text) is provably a no-op.
 
 Divergence from full ftfy is characterized in
-``tests/test_text_divergence.py`` and summarized in PARITY.md: HTML
-entities, lone surrogates, and exotic single-byte codecs (koi8-r etc.) are
-out of scope -- none of which survive into the KILT/DPR corpus TSVs the
-reference pipeline actually consumes.
+``tests/test_text_divergence.py`` and summarized in PARITY.md: lone
+surrogates and exotic single-byte codecs (koi8-r etc.) remain out of scope
+-- neither survives into the KILT/DPR corpus TSVs the reference pipeline
+actually consumes.  HTML entities ARE handled (``unescape_html_entities``,
+mirroring ftfy.fix_text's default ``unescape_html='auto'`` behavior).
 """
 
 from __future__ import annotations
 
+import html
 import re
 
 # A double-encoded 2- or 3-byte UTF-8 sequence read back as cp1252/latin-1
@@ -83,3 +85,40 @@ def fix_mojibake(text: str, max_rounds: int = 3) -> str:
             break
         text, sig = fixed, new_sig
     return text
+
+
+# A genuine character/numeric entity reference: named (&amp; &eacute; ...)
+# or numeric (&#233; &#xE9;).  Bare ampersands ("AT&T", "Tom & Jerry")
+# never match, so they take no byte work and cannot be corrupted.
+_ENTITY = re.compile(r"&(?:#[0-9]{1,7}|#[xX][0-9a-fA-F]{1,6}|[A-Za-z][A-Za-z0-9]{1,30});")
+
+
+def unescape_html_entities(text: str) -> str:
+    """HTML character-reference unescape with ftfy's ``'auto'`` gating.
+
+    ``ftfy.fix_text`` (the call replaced at reference
+    ``scripts/build_fm_index.py:50-54``) defaults to
+    ``unescape_html='auto'``: entities are decoded only when the string does
+    NOT look like actual HTML markup, i.e. contains no ``<``.  Wikipedia/
+    KILT dump artifacts like ``&amp;`` / ``&eacute;`` / ``&#233;`` get
+    repaired; real markup and bare ampersands pass through untouched.
+    Runs to a fixed point so double-escaped ``&amp;eacute;`` fully decodes,
+    matching ftfy's behavior of re-running fixes until stable.
+    """
+    if "<" in text or "&" not in text:
+        return text
+    for _ in range(3):
+        if not _ENTITY.search(text):
+            break
+        fixed = html.unescape(text)
+        if fixed == text:
+            break
+        text = fixed
+    return text
+
+
+def fix_text(text: str) -> str:
+    """The ftfy.fix_text stand-in used by the corpus/dataset pipelines:
+    HTML-entity unescape (auto-gated) followed by mojibake repair -- the
+    two repair classes that materially occur in KILT/DPR corpus TSVs."""
+    return fix_mojibake(unescape_html_entities(text))

@@ -222,7 +222,7 @@ def test_slab_filled_buffer_does_not_stop_lm_sweep():
             ops, cfg, lp_, lo_, hi_, pc, fin, pl, et
         )
     )(
-        jnp.asarray(lp),
+        jnp.asarray(lp).reshape(B * K, V),  # _exact_proposals takes FLAT lp
         lo_a,
         hi_a,
         jnp.full((B, K), hi - lo, jnp.int32),

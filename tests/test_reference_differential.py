@@ -166,12 +166,83 @@ def _normalize(results):
     return out
 
 
-@pytest.mark.parametrize("seed", range(40))
-def test_aggregate_evidence_matches_reference(seed):
-    rk = ref_keys()
-    rng = np.random.default_rng(seed)
-    index, ngrams_and_scores, unigram_scores, knobs = _random_case(rng)
+class _CanonicalOrderView:
+    """Duck-typed FMIndex view presenting each ngram's SA range in CANONICAL
+    order (doc id asc, within-doc SA order) -- the exact sequence
+    ``seal_tpu`` ``FMIndex.occurrences`` feeds the ranker (and that
+    ``UnionHostIndex`` reproduces for any shard count).  The reference
+    ranker enumerates raw SA rows itself (``keys.py:320-324``:
+    ``get_range`` -> ``locate(row)`` -> ``get_doc_index``); this view remaps
+    ``get_range`` to a virtual row space whose ``locate`` yields tok_ends in
+    canonical order, so the EXECUTED reference visits occurrences in the
+    same order our implementation does.  Stage-1 per-doc state is
+    order-invariant (positions of distinct docs are disjoint), so this
+    only aligns results-dict insertion order, i.e. equal-score
+    tie-breaking.
+    """
+
+    def __init__(self, index):
+        self._index = index
+        self._virt = []  # virtual row -> tok_end
+
+    def __getattr__(self, name):
+        return getattr(self._index, name)
+
+    def __len__(self):  # dunders bypass __getattr__
+        return len(self._index)
+
+    def get_range(self, ngram):
+        lo, hi = self._index.get_range(ngram)
+        base = len(self._virt)
+        tok_ends = np.asarray(self._index.sa[lo:hi], dtype=np.int64)
+        doc_ids = (
+            np.searchsorted(self._index.doc_boundaries(), tok_ends, side="right")
+            - 1
+        )
+        order = np.argsort(doc_ids, kind="stable")
+        self._virt.extend(tok_ends[order].tolist())
+        return (base, base + (hi - lo))
+
+    def locate(self, row):
+        return int(self._virt[row])
+
+
+def _assert_same_modulo_ties(raw_res, our_res, tol=1e-6):
+    """Rankings identical modulo reordering of docs whose scores are within
+    ``tol`` (visit order changes both equal-score insertion order AND the
+    float summation order, so 'tied' must be tolerance-based).  A tie group
+    can straddle an output cutoff, in which case the SETS differ -- but
+    every doc on either exclusive side must score within ``tol`` of the
+    boundary (min) score."""
+    raw_ids, our_ids = list(raw_res), list(our_res)
+    raw_s = {d: float(raw_res[d][0]) for d in raw_ids}
+    our_s = {d: float(our_res[d][0]) for d in our_ids}
+    raw_only = set(raw_ids) - set(our_ids)
+    our_only = set(our_ids) - set(raw_ids)
+    if raw_only or our_only:
+        boundary = min(min(raw_s.values()), min(our_s.values()))
+        for d in raw_only:
+            assert abs(raw_s[d] - boundary) <= tol, ("cutoff tie", d)
+        for d in our_only:
+            assert abs(our_s[d] - boundary) <= tol, ("cutoff tie", d)
+    common = set(raw_ids) & set(our_ids)
+    for d in common:
+        assert raw_s[d] == pytest.approx(our_s[d], abs=tol), d
+    raw_seq = [d for d in raw_ids if d in common]
+    our_seq = [d for d in our_ids if d in common]
+    for a, b in zip(raw_seq, our_seq):
+        if a != b:  # order flips only between numerically-tied docs
+            assert abs(raw_s[a] - raw_s[b]) <= tol, (a, b)
+
+
+def _run_case(rk, index, ngrams_and_scores, unigram_scores, knobs):
     ref_res, ref_ngrams = rk.aggregate_evidence(
+        [(list(n), s) for n, s in ngrams_and_scores],
+        unigram_scores=list(unigram_scores) if unigram_scores else None,
+        index=_CanonicalOrderView(index),
+        **knobs,
+    )
+    raw_res, _ = rk.aggregate_evidence(
         [(list(n), s) for n, s in ngrams_and_scores],
         unigram_scores=list(unigram_scores) if unigram_scores else None,
         index=index,
@@ -183,6 +254,21 @@ def test_aggregate_evidence_matches_reference(seed):
         index=index,
         **knobs,
     )
+    return ref_res, ref_ngrams, raw_res, our_res, our_ngrams
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_aggregate_evidence_matches_reference(seed):
+    """Bit-identity vs the executed reference ranker driven through the
+    canonical occurrence order (the order both our monolithic and sharded
+    indexes produce), PLUS raw-SA-order equivalence modulo exact-score
+    tie-breaking (the only divergence the ordering convention can cause)."""
+    rk = ref_keys()
+    rng = np.random.default_rng(seed)
+    index, ngrams_and_scores, unigram_scores, knobs = _random_case(rng)
+    ref_res, ref_ngrams, raw_res, our_res, our_ngrams = _run_case(
+        rk, index, ngrams_and_scores, unigram_scores, knobs
+    )
     assert set(ref_ngrams) == set(our_ngrams)
     for k in ref_ngrams:
         assert math.isclose(ref_ngrams[k], our_ngrams[k], rel_tol=1e-9, abs_tol=1e-9)
@@ -192,6 +278,12 @@ def test_aggregate_evidence_matches_reference(seed):
         assert ref_n[doc][0] == pytest.approx(our_n[doc][0], abs=1e-6)
         assert ref_n[doc][1] == our_n[doc][1]
         assert ref_n[doc][2] == our_n[doc][2]
+    # raw-SA-order reference: identical modulo numerically-tied reordering
+    _assert_same_modulo_ties(raw_res, our_res)
+    raw_n = _normalize(raw_res)
+    for doc in raw_n:
+        if doc in our_n:
+            assert raw_n[doc][1] == our_n[doc][1]
 
 
 def test_aggregate_evidence_reference_on_sample_docs():

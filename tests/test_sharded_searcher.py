@@ -68,6 +68,23 @@ def test_union_host_index(world):
         assert union.get_count(pat) == sum(h.get_count(pat) for h in hosts)
         ends, gdocs = union.occurrences(pat, 100)
         assert len(ends) == union.get_count(pat)
+        # canonical ordering: the union's occurrence stream is IDENTICAL to
+        # the monolithic index's (doc id asc, within-doc SA order) up to the
+        # coordinate system -- union tok_ends live in shard-concatenation
+        # coordinates, monolithic in corpus order, but within-doc offsets
+        # (all the ranker's coverage logic consumes) are preserved.  This is
+        # what makes sharded ranking == monolithic ranking end-to-end.
+        m_ends, m_docs = mono.occurrences(pat, 100)
+        np.testing.assert_array_equal(gdocs, m_docs)
+        mono_b = np.asarray(mono.doc_boundaries())
+        u_start = np.empty(len(docs), np.int64)
+        for s, h in enumerate(hosts):
+            hb = np.asarray(h.doc_boundaries())
+            for local_g, global_g in enumerate(assign[s]):
+                u_start[global_g] = union.offsets[s] + hb[local_g]
+        np.testing.assert_array_equal(
+            ends - u_start[gdocs], m_ends - mono_b[m_docs]
+        )
         # every reported doc actually contains the pattern
         for g in set(gdocs.tolist()):
             doc_toks = union.get_doc(int(g))

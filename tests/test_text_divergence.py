@@ -25,7 +25,12 @@ import pytest
 
 from seal_tpu.cli.build_fm_index import clean_text
 from seal_tpu.models.tokenizer import word_tokenize
-from seal_tpu.utils.textfix import fix_mojibake, mojibake_signature
+from seal_tpu.utils.textfix import (
+    fix_mojibake,
+    fix_text,
+    mojibake_signature,
+    unescape_html_entities,
+)
 
 # ---------------------------------------------------------------- ftfy class
 
@@ -106,6 +111,49 @@ def test_truncated_sequence_is_left_alone():
     # decode fails -> conservative no-op (ftfy would also leave it)
     broken = "caf" + "Ã"
     assert fix_mojibake(broken) == broken
+
+
+# --------------------------------------------------------- HTML entity class
+
+ENTITY_FIXABLE = [
+    # (input, ftfy.fix_text(unescape_html='auto') output)
+    ("Tom &amp; Jerry", "Tom & Jerry"),
+    ("caf&eacute; au lait", "café au lait"),
+    ("caf&#233; num&#xE9;rique", "café numérique"),
+    ("&quot;quoted&quot; &ndash; dashed", '"quoted" – dashed'),
+    ("&amp;eacute; double-escaped", "é double-escaped"),  # fixed-point rerun
+]
+
+
+@pytest.mark.parametrize("raw,expect", ENTITY_FIXABLE)
+def test_html_entities_unescaped(raw, expect):
+    assert unescape_html_entities(raw) == expect
+    assert fix_text(raw) == expect
+
+
+ENTITY_NOOPS = [
+    "AT&T and Tom & Jerry",          # bare ampersands, no entity pattern
+    "<b>real &amp; markup</b>",      # '<' present -> ftfy 'auto' gate: no-op
+    "a < b && b > c",                # comparison operators
+    "R&D spending",                  # '&' + uppercase but no ';'
+    "&notanentitybecauseitiswaytoolong;",
+    "",
+]
+
+
+@pytest.mark.parametrize("text", ENTITY_NOOPS)
+def test_html_entity_gate_noops(text):
+    assert unescape_html_entities(text) == text
+
+
+def test_entity_plus_mojibake_compose():
+    """fix_text applies both classes in ftfy's order (unescape, then
+    encoding repair): an entity-escaped mojibake string fully round-trips."""
+    corrupted = _corrupt("café")  # "cafÃ©"
+    raw = corrupted.replace("Ã", "&Atilde;") + " &amp; tea"
+    assert fix_text(raw) == "café & tea"
+    # and through the build CLI path
+    assert clean_text(raw) == "café & tea"
 
 
 # ------------------------------------------------------- spaCy tokenizer gap
