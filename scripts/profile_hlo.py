@@ -107,12 +107,20 @@ def parse(trace_dir: str, top: int = 40):
     i_name = col("hlo op name")
     i_self = col("total self time (us)")
     i_expr = None
-    for cand in ("hlo op expression", "program id"):
+    for cand in ("framework op name",):
         try:
             i_expr = col(cand)
             break
         except KeyError:
             pass
+    try:
+        i_bound = col("bound by")
+    except KeyError:
+        i_bound = None
+    try:
+        i_bw = col("measured memory bw")
+    except KeyError:
+        i_bw = None
 
     total = sum(float(r[i_self]) for r in rows)
     by_cat = {}
@@ -124,11 +132,24 @@ def parse(trace_dir: str, top: int = 40):
         print(f"{v/1e3:10.2f} ms  {100*v/total:5.1f}%  {k}")
     print(f"\n-- top {top} ops by self time --")
     agg = {}
+    meta = {}
     for r in rows:
         key = (r[i_cat], str(r[i_name])[:110])
         agg[key] = agg.get(key, 0.0) + float(r[i_self])
+        if key not in meta:
+            meta[key] = (
+                str(r[i_expr]) if i_expr is not None else "",
+                str(r[i_bound]) if i_bound is not None else "",
+                str(r[i_bw]) if i_bw is not None else "",
+            )
     for (cat, name), v in sorted(agg.items(), key=lambda kv: -kv[1])[:top]:
-        print(f"{v/1e3:10.2f} ms  {100*v/total:5.1f}%  [{cat}] {name}")
+        fw, bound, bw = meta[(cat, name)]
+        print(
+            f"{v/1e3:10.2f} ms  {100*v/total:5.1f}%  [{cat}] {name}"
+            f"  bound_by={bound} bw={bw} GiB/s"
+        )
+        if fw:
+            print(f"               {fw[:220]}")
 
 
 if __name__ == "__main__":

@@ -963,9 +963,12 @@ def _select(cfg: DecodeConfig, cons_scores, uncons_scores, tokens, K, vocab: int
     (``beam_search.py:301-320`` + scorer ``process`` at ``:658-695``)."""
     B = cons_scores.shape[0]
     ncand = cons_scores.shape[-1]
-    flat_cons = cons_scores.reshape(B, K * ncand)
-    flat_uncons = uncons_scores.reshape(B, K * ncand)
-    flat_tok = tokens.reshape(B, K * ncand)
+    # candidate-beam axis can be NARROWER than K (step 0 runs with one live
+    # beam per query); K only sizes the selection outputs (2K + K picks)
+    n_par = cons_scores.shape[1]
+    flat_cons = cons_scores.reshape(B, n_par * ncand)
+    flat_uncons = uncons_scores.reshape(B, n_par * ncand)
+    flat_tok = tokens.reshape(B, n_par * ncand)
 
     # under exact_ties equal scores tie-break (beam, token)-ascending, the
     # dense mode's flat candidate order
@@ -1105,11 +1108,35 @@ def constrained_beam_search(
     ops = index_ops if index_ops is not None else SingleIndexOps(index)
 
     # ---- beam-tiled encoder state ---------------------------------------
-    enc_tiled = jnp.repeat(enc_out, K, axis=0)  # [B*K, Lsrc, D]
-    mask_tiled = jnp.repeat(enc_mask, K, axis=0)
-    cross_kv = bart.precompute_cross_kv(model_cfg, params, enc_tiled)
-    enc_bias = bart.encoder_bias(mask_tiled)
-    self_cache = bart.empty_self_cache(model_cfg, B * K, L)
+    # cross-K/V is per-QUERY state (identical across beams): project on the
+    # [B] rows and repeat the small result, instead of projecting on the
+    # beam-tiled [B*K] rows (K x the FLOPs for bytes XLA copies anyway)
+    cross_kv_q = bart.precompute_cross_kv(model_cfg, params, enc_out)
+    enc_bias_q = bart.encoder_bias(enc_mask)
+    cross_kv = jax.tree_util.tree_map(
+        lambda a: jnp.repeat(a, K, axis=0), cross_kv_q
+    )
+    enc_bias = jnp.repeat(enc_bias_q, K, axis=0)
+
+    # Step 0 (and the optional forced-BOS step) has ONE live beam per query
+    # in beam-search modes (beam_scores init: only beam 0 at 0.0, the rest
+    # at NEG_INF never win) and identical model state across beams -- run
+    # the peeled prefix on [B] rows and fan out to [B*K] at the first beam
+    # selection.  At the bench point this removes a 96 MB lp re-tile, the
+    # [B*K, V] step-0 log-softmax/top-k, and K x the step-0 decode FLOPs
+    # (round-4 trace: reshape.2412 + reduce_max/sum + top_k custom-call,
+    # ~5 ms of the 95 ms device step).  Sampling (all chains live) and
+    # diverse groups (one live beam PER GROUP) keep the beam-tiled prefix.
+    # (V >= 2K so the one-beam candidate pool still yields 2K selections --
+    # only sub-50-token toy vocabs with wide beams ever fail this)
+    slim0 = not cfg.sample and cfg.num_groups == 1 and V >= 2 * K
+    rows0 = B if slim0 else B * K
+    K0 = 1 if slim0 else K
+    if slim0:
+        cross_kv0, enc_bias0 = cross_kv_q, enc_bias_q
+    else:
+        cross_kv0, enc_bias0 = cross_kv, enc_bias
+    self_cache = bart.empty_self_cache(model_cfg, rows0, L)
 
     tokens = jnp.full((B * K, L), cfg.pad_token_id, jnp.int32)
     tokens = tokens.at[:, 0].set(cfg.decoder_start_token_id)
@@ -1140,10 +1167,16 @@ def constrained_beam_search(
     if cfg.forced_bos_token_id is not None:
         bos = cfg.forced_bos_token_id
         logits, self_cache = bart.decode_step(
-            model_cfg, params, tokens[:, 0], pos0, self_cache, cross_kv, enc_bias
+            model_cfg,
+            params,
+            jnp.full((rows0,), cfg.decoder_start_token_id, jnp.int32),
+            pos0,
+            self_cache,
+            cross_kv0,
+            enc_bias0,
         )
-        lp = _log_softmax(logits).reshape(B, K, V)
-        beam_scores = beam_scores + lp[:, :, bos]
+        lp = _log_softmax(logits).reshape(B, K0, V)
+        beam_scores = beam_scores + lp[:, :, bos]  # [B,K0] broadcasts over K
         tokens = tokens.at[:, 1].set(bos)
         pos0 = jnp.int32(1)
 
@@ -1177,12 +1210,23 @@ def constrained_beam_search(
 
     # ---- step 0: first constrained token (dense corpus mask) ------------
     start_col = 1 if cfg.forced_bos_token_id is None else 2
+    tok0 = (
+        cfg.decoder_start_token_id
+        if cfg.forced_bos_token_id is None
+        else cfg.forced_bos_token_id
+    )
     logits, self_cache = bart.decode_step(
-        model_cfg, params, tokens[:, start_col - 1], pos0, self_cache, cross_kv, enc_bias
+        model_cfg,
+        params,
+        jnp.full((rows0,), tok0, jnp.int32),
+        pos0,
+        self_cache,
+        cross_kv0,
+        enc_bias0,
     )
     logits = _apply_topk_warper(logits, cfg)
     lp = _apply_min_length(_log_softmax(logits), start_col, cfg)
-    lp = lp.reshape(B, K, V)
+    lp = lp.reshape(B, K0, V)
     if cfg.disable_fm_index:
         cons0 = lp
     else:
@@ -1191,7 +1235,7 @@ def constrained_beam_search(
             # reference unmasks EOS after every branch (beam_search.py:137-138)
             corpus_mask = corpus_mask.at[cfg.eos_token_id].set(True)
         cons0 = jnp.where(corpus_mask[None, None, :], lp, NEG_INF)
-    tokens_all = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32), (B, K, V))
+    tokens_all = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32), (B, K0, V))
     rng_key, key0 = jax.random.split(rng_key)
     (
         c_tok0,
@@ -1202,12 +1246,15 @@ def constrained_beam_search(
         sel_par,
         beam_scores,
         sel_fin0,
-    ) = dispatch_select(cons0, lp, tokens_all, beam_scores, key0)
+    ) = dispatch_select(cons0, lp, tokens_all, beam_scores[:, :K0], key0)
     tainted = ~sel_fin0
 
+    # fan out: tokens live in [B*K] rows (identical per query so any parent
+    # works); the cache lives in [rows0] rows -- gather with the K0 stride
     flat_sel = (jnp.arange(B)[:, None] * K + sel_par).reshape(-1)
     tokens = tokens[flat_sel].at[:, start_col].set(sel_tok.reshape(-1))
-    self_cache = bart.reorder_cache(self_cache, flat_sel)
+    flat_sel0 = (jnp.arange(B)[:, None] * K0 + sel_par).reshape(-1)
+    self_cache = bart.reorder_cache(self_cache, flat_sel0)
     prev_count = ops.range_size(lo0, hi0)[jnp.arange(B)[:, None], sel_par]
     lo, hi = ops.extend(
         sel_tok,
