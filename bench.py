@@ -67,14 +67,18 @@ def decode_flops(cfg, batch: int, beam: int, src_len: int, steps: int) -> float:
 
     # Encoder: per token per layer QKVO (8d^2) + scores/AV (4*d*Lsrc) + FFN.
     enc = batch * src_len * n_enc * (8 * d * d + 4 * d * src_len + 4 * d * f)
-    # Cross-KV precompute over beam-tiled encoder output: K,V proj per layer.
-    cross_kv = rows * src_len * n_dec * (4 * d * d)
+    # Cross-KV precompute: projected per QUERY and repeated across beams
+    # (round 5; previously computed on the beam-tiled rows).
+    cross_kv = batch * src_len * n_dec * (4 * d * d)
     # Decoder steps: self QKVO + self scores (avg cache len ~steps/2) +
-    # cross Q,O + cross scores + FFN, then the vocab projection.
+    # cross Q,O + cross scores + FFN, then the vocab projection.  Step 0
+    # runs on [batch] rows (one live beam per query, round 5); the
+    # remaining steps on the beam-tiled rows.
     per_tok = n_dec * (
         8 * d * d + 4 * d * (steps / 2) + 4 * d * d + 4 * d * src_len + 4 * d * f
     )
-    dec = rows * steps * (per_tok + 2 * d * v)
+    dec_rows_steps = rows * max(steps - 1, 0) + batch
+    dec = dec_rows_steps * (per_tok + 2 * d * v)
     return float(enc + cross_kv + dec)
 
 
@@ -454,16 +458,24 @@ def main():
         params_e2e = dict(params)
         params_e2e["final_logits_bias"] = jnp.zeros((cfg.vocab_size,), jnp.float32)
         params_e2e = convert.apply_seal_logits_bias(params_e2e, cfg)
+        # Steady-state serving shape: a 2x-batch query stream in batch/2
+        # production units, so the producer thread's device work (decode +
+        # rescore + unigrams of unit N+1) genuinely overlaps host
+        # aggregation of unit N.  The round-4 measurement ran ONE
+        # batch-sized unit, where the pipeline has nothing to overlap by
+        # construction (phases summed to the wall).
+        e2e_bs = max(8, batch // 2)
         searcher = SEALSearcher(
             e2e_index, tok, cfg, params_e2e,
-            backbone="word-vocab-large", beam=beam, length=length, batch_size=batch,
+            backbone="word-vocab-large", beam=beam, length=length,
+            batch_size=e2e_bs,
         )
         queries = []
-        for _ in range(batch):
+        for _ in range(2 * batch):
             d = texts[int(rng.integers(0, n_docs))].split("@@ ")[1].split()
             s = int(rng.integers(0, max(1, len(d) - 6)))
             queries.append(" ".join(d[s : s + 6]))
-        _retry(lambda: searcher.batch_search(queries[:16], k=10),
+        _retry(lambda: searcher.batch_search(queries[:e2e_bs], k=10),
                attempts=2, label="e2e warmup")  # compile
         searcher.phase_timer.enabled = True
         t0 = time.time()
@@ -476,6 +488,13 @@ def main():
             "e2e_qps": round(len(queries) / e2e_wall, 3),
             # phases overlap under pipelining: share of wall, not a sum
             "e2e_aggregate_share": round(agg / e2e_wall, 3),
+            "e2e_queries": len(queries),
+            "e2e_batch_size": e2e_bs,
+            **{
+                f"e2e_phase_{k}_s": round(v, 3)
+                for k, v in sorted(tot.items())
+                if k != "generate+aggregate"
+            },
         }
         print(
             f"# e2e: {len(queries)} queries in {e2e_wall:.2f}s -> "

@@ -5,7 +5,11 @@ distribution at BART vocab, ships the decode-path index to the chip, and
 measures constrained key generation at the reference operating point
 (beam 15, length 10, batch 32).  Usage:
 
-    python scripts/bench_scale.py [n_tokens] [--compact]
+    python scripts/bench_scale.py [n_tokens] [--compact] [--t5]
+
+``--t5`` swaps the backbone for T5-base (32k vocab, same corpus recipe at
+that vocab) -- the reproducible home of the BASELINE.md "second model
+family" throughput row.
 """
 
 import os
@@ -27,9 +31,11 @@ def main():
     from seal_tpu.models.config import bart_large
     import dataclasses
 
-    n_tokens = int(float(sys.argv[1])) if len(sys.argv) > 1 else 100_000_000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_tokens = int(float(args[0])) if args else 100_000_000
     compact = "--compact" in sys.argv
-    doc_len, vocab = 120, 50265
+    use_t5 = "--t5" in sys.argv
+    doc_len, vocab = 120, (32128 if use_t5 else 50265)
     n_docs = n_tokens // (doc_len + 1)
 
     rng = np.random.default_rng(0)
@@ -56,14 +62,29 @@ def main():
     ship_s = time.time() - t0
     mem = index.memory_bytes()
 
-    cfg = dataclasses.replace(bart_large(), dtype="bfloat16")
-    params = dict(bart.init_params(jax.random.PRNGKey(0), cfg))
-    unigram = np.bincount(body.ravel() % vocab, minlength=vocab).astype(np.float64)
-    log_u = np.log((unigram + 0.5) / (unigram.sum() + 0.5 * vocab))
-    params["final_logits_bias"] = params["final_logits_bias"] + 4.0 * (
-        log_u - log_u.mean()
-    ).astype(np.float32)
-    params = convert.apply_seal_logits_bias(params, cfg)
+    if use_t5:
+        from seal_tpu.models import t5 as t5mod
+        from seal_tpu.models.t5 import T5Config
+
+        cfg = T5Config(
+            vocab_size=vocab, d_model=768, d_kv=64, d_ff=3072,
+            num_layers=12, num_heads=12, dtype="bfloat16",
+        )  # t5-base
+        params = dict(t5mod.init_params(jax.random.PRNGKey(0), cfg))
+        # T5 carries no additive logits-bias param, so the corpus-unigram
+        # workload shaping bench.py applies to BART is unavailable:
+        # random-weight T5 runs the constraint loop on a flatter proposal
+        # distribution (pessimistic for single-round convergence; noted
+        # in BASELINE.md next to the number)
+    else:
+        cfg = dataclasses.replace(bart_large(), dtype="bfloat16")
+        params = dict(bart.init_params(jax.random.PRNGKey(0), cfg))
+        unigram = np.bincount(body.ravel() % vocab, minlength=vocab).astype(np.float64)
+        log_u = np.log((unigram + 0.5) / (unigram.sum() + 0.5 * vocab))
+        params["final_logits_bias"] = params["final_logits_bias"] + 4.0 * (
+            log_u - log_u.mean()
+        ).astype(np.float32)
+        params = convert.apply_seal_logits_bias(params, cfg)
     from seal_tpu.models.api import cast_params
 
     params = cast_params(cfg, params)  # bf16 weight copies, as bench.py
@@ -95,7 +116,7 @@ def main():
         f"sa-is+derive={build_s:.0f}s ship={ship_s:.0f}s compile={compile_s:.0f}s",
         file=sys.stderr,
     )
-    mode = "compact" if compact else "fast"
+    mode = ("compact" if compact else "fast") + (" t5-base" if use_t5 else "")
     print(
         f"scale bench ({mode}): {batch / per:.1f} q/s at beam {beam} len {length} "
         f"batch {batch}; index {mem / 2**30:.2f} GiB on-chip "

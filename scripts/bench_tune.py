@@ -21,11 +21,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# (exact_chunk, exact_loop_chunk, window): window 0 = auto
+# (exact_chunk, exact_loop_chunk, window, exact_topk_blk): window 0 = auto
 COMBOS = [
-    (64, 0, 0),
-    (64, 0, 64),
-    (64, 0, 96),
+    (64, 0, 0, 128),
+    (64, 0, 0, 32),
+    (64, 0, 0, 128),
+    (64, 0, 0, 32),
 ]
 
 
@@ -70,13 +71,14 @@ def main():
     ids, mask = pad_batch(queries, cfg.pad_token_id)
 
     ref_keys = None
-    for chunk, loop_chunk, window in COMBOS:
+    for chunk, loop_chunk, window, topk_blk in COMBOS:
         def dispatch():
             return fm_index_generate_async(
                 cfg, params, index, ids, mask,
                 num_beams=beam, max_length=length, min_length=length - 1,
                 forced_bos_token_id=None,
                 exact_chunk=chunk, exact_loop_chunk=loop_chunk, window=window,
+                exact_topk_blk=topk_blk,
             )
 
         t0 = time.time()
@@ -115,6 +117,7 @@ def main():
             ref_keys = keys
         print(json.dumps({
             "exact_chunk": chunk, "exact_loop_chunk": loop_chunk, "window": window,
+            "exact_topk_blk": topk_blk,
             "sync_qps": round(batch / per, 1), "pipe_qps": round(batch / pipe, 1),
             "s_per_batch": round(per, 4), "pipe_s_per_batch": round(pipe, 4),
             "compile_s": round(compile_s, 1),

@@ -70,9 +70,50 @@ def estimate(n_tokens: int, seed: int = 0) -> dict:
     }
 
 
+def ours_fast(n_tokens: int, sigma: int | None = None) -> dict:
+    """Analytic fast-mode (Psi layout) footprint INCLUDING the round-4
+    latency structures (seal_tpu/index/device_index.py):
+
+      psi int32          4 B/token
+      bwt uint16         2 B/token
+      bucket_occ         1 B/token   (int32 [n/bucket_rows, 256] at defaults)
+      psi_blk int32      4 B/token   (128-wide row-gather view of psi)
+      head directory     min(DIR_BUDGET 64 MB, 64 B/token) FLAT -- a latency
+                         budget against the 16 GB chip, NOT per token: it
+                         amortizes from ~53 B/token at 1.2M tokens to
+                         0.64 B/token at 100M and 0.026 at 2.5B
+      sym_dir            16 B/symbol (sigma rows x int32[4])
+
+    The asymptotic rate is therefore ~11 B/token + 64 MB flat; the
+    small-corpus bench figure (67.6 B/token at 1.2M) is budget-dominated.
+    Compact mode (16-ary wavelet) replaces psi/bwt/psi_blk with ~3.0 B/token
+    and is the sdsl-parity configuration.
+    """
+    if sigma is None:
+        sigma = min(n_tokens, 50_265)
+    per_tok = 4 + 2 + 1 + 4
+    dir_bytes = min(64 << 20, 64 * n_tokens)
+    sym_bytes = 16 * sigma
+    total = per_tok * n_tokens + dir_bytes + sym_bytes
+    return {
+        "n_tokens": n_tokens,
+        "ours_fast_B_per_token": round(total / n_tokens, 2),
+        "ours_fast_stream_B_per_token": per_tok,
+        "ours_fast_dir_MB": round(dir_bytes / 2**20, 1),
+        "ours_fast_total_GiB": round(total / 2**30, 3),
+        "ours_compact_B_per_token_asymptotic": 3.0,
+    }
+
+
 if __name__ == "__main__":
-    sizes = [int(float(a)) for a in sys.argv[1:]] or [1_200_000, 100_000_000]
+    sizes = [int(float(a)) for a in sys.argv[1:] if not a.startswith("--")] or [
+        1_200_000,
+        100_000_000,
+        2_500_000_000,
+    ]
     import json
 
     for s in sizes:
-        print(json.dumps(estimate(s)))
+        row = estimate(s) if s <= 1_000_000_000 else {"n_tokens": s}
+        row.update(ours_fast(s))
+        print(json.dumps(row))

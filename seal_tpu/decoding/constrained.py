@@ -186,6 +186,15 @@ class DecodeConfig:
     # missed-token bound reaches the selection cutoff, so round 0 no longer
     # needs to over-sweep; v5e A/B (scripts/bench_tune.py, round 3):
     # 64 -> 144.6 q/s sync vs 128 -> 100.1 at the bench config)
+    exact_topk_blk: int = 0  # _exact_topk block width for the round-0
+    #   exact top-chunk; 0 = auto (128 for B*K <= 1024, else 32).  128 is
+    #   the f32 lane width, so the [rows, nb, blk] block view of lp
+    #   re-tiles with no lane padding -- v5e A/B (scripts/bench_tune.py,
+    #   round 5) at the bench shape (480 rows): pipelined 268-330 q/s at
+    #   blk 128 vs 236-277 at the round-4 blk 32, identical outputs.  At
+    #   the config5 shape (2048 rows) the preference INVERTS (sync 83 vs
+    #   68 q/s): the wider one-hot gather operand stops fitting the
+    #   fusion budget, so wide-row programs keep 32.
     exact_loop_chunk: int = 0  # LM candidates per straggler round (0 = auto).
     # Rounds past 0 exist only for beams whose round-0 proof failed (fewer
     # than 2K allowed tokens among the top-exact_chunk LM candidates, with
@@ -589,7 +598,8 @@ def _exact_proposals(
         # block-decomposed exact top-k (bit-identical to lax.top_k, ~2.6x
         # faster at vocab scale on v5e); lp is a log-softmax output, hence
         # -inf-free
-        top_lp0, top_tok0 = _exact_topk(lp, chunk, blk=32, assume_finite=True)
+        blk0 = cfg.exact_topk_blk or (128 if B * K <= 1024 else 32)
+        top_lp0, top_tok0 = _exact_topk(lp, chunk, blk=blk0, assume_finite=True)
         top_tok0 = top_tok0.reshape(B, K, chunk).astype(jnp.int32)
         top_lp0 = top_lp0.reshape(B, K, chunk)
         ok0 = ops.contains(jnp.concatenate([top_tok0, eos_tok], -1), lo, hi)
@@ -1107,16 +1117,17 @@ def constrained_beam_search(
     bart = model_api.module_for(model_cfg)  # family dispatch (bart / t5)
     ops = index_ops if index_ops is not None else SingleIndexOps(index)
 
-    # ---- beam-tiled encoder state ---------------------------------------
+    # ---- per-query encoder state (NEVER beam-tiled) ----------------------
     # cross-K/V is per-QUERY state (identical across beams): project on the
-    # [B] rows and repeat the small result, instead of projecting on the
-    # beam-tiled [B*K] rows (K x the FLOPs for bytes XLA copies anyway)
+    # [B] rows and keep it that way -- decode_step's grouped cross-attention
+    # (models/bart._cross_attention_step) attends the beam-tiled decoder
+    # rows against per-query K/V, so the dominant per-step HBM read (330 MB
+    # beam-tiled at the bench shape, 1.4 GB at beam 32 x batch 64) streams
+    # once per query instead of once per beam.
     cross_kv_q = bart.precompute_cross_kv(model_cfg, params, enc_out)
     enc_bias_q = bart.encoder_bias(enc_mask)
-    cross_kv = jax.tree_util.tree_map(
-        lambda a: jnp.repeat(a, K, axis=0), cross_kv_q
-    )
-    enc_bias = jnp.repeat(enc_bias_q, K, axis=0)
+    cross_kv = cross_kv_q
+    enc_bias = enc_bias_q
 
     # Step 0 (and the optional forced-BOS step) has ONE live beam per query
     # in beam-search modes (beam_scores init: only beam 0 at 0.0, the rest
@@ -1132,10 +1143,8 @@ def constrained_beam_search(
     slim0 = not cfg.sample and cfg.num_groups == 1 and V >= 2 * K
     rows0 = B if slim0 else B * K
     K0 = 1 if slim0 else K
-    if slim0:
-        cross_kv0, enc_bias0 = cross_kv_q, enc_bias_q
-    else:
-        cross_kv0, enc_bias0 = cross_kv, enc_bias
+    # grouped cross-attention serves any rows0 that is a multiple of B
+    cross_kv0, enc_bias0 = cross_kv_q, enc_bias_q
     self_cache = bart.empty_self_cache(model_cfg, rows0, L)
 
     tokens = jnp.full((B * K, L), cfg.pad_token_id, jnp.int32)

@@ -196,6 +196,7 @@ def fm_index_generate_async(
     top_m: int = 256,
     window: int = 0,  # 0 = auto (constrained.resolve_window)
     exact_chunk: int = 64,
+    exact_topk_blk: int = 0,  # 0 = auto (see DecodeConfig)
     exact_loop_chunk: int = 0,  # 0 = auto (see DecodeConfig)
     dense_chunk: int = 2048,
     speculative: bool = False,
@@ -241,6 +242,7 @@ def fm_index_generate_async(
         top_m=min(top_m, model_cfg.vocab_size),
         window=resolve_window(window, num_beams, speculative),
         exact_chunk=exact_chunk,
+        exact_topk_blk=exact_topk_blk,
         exact_loop_chunk=exact_loop_chunk,
         dense_chunk=dense_chunk,
         speculative=speculative,

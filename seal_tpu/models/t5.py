@@ -209,6 +209,29 @@ def _attention(p, x_q, kv, bias, h, dk, dtype):
     return _merge(out) @ p["o"].astype(dtype)
 
 
+def _cross_attention_step(p, x_q, kv, bias, h, dk, dtype):
+    """Single-token cross-attention with PER-QUERY K/V under beam tiling:
+    query rows [Bq*K, 1, d] attend grouped against K/V [Bq, M, H, Dh], so
+    the encoder K/V stream once per query, not once per beam (see
+    bart._cross_attention_step).  T5 cross-attention carries no relative
+    position bias (only the padding bias, [Bq,1,1,M]), so the broadcast
+    over (group, head) is exact."""
+    k, v = kv
+    bq, b = k.shape[0], x_q.shape[0]
+    if bq == b:
+        return _attention(p, x_q, kv, bias, h, dk, dtype)
+    g = b // bq
+    q = _split(x_q @ p["q"].astype(x_q.dtype), h, dk)  # [b, 1, H, Dh]
+    qg = q[:, 0].reshape(bq, g, h, dk)
+    scores = jnp.einsum("bghd,bmhd->bghm", qg, k, preferred_element_type=jnp.float32)
+    if bias is not None:
+        scores = scores + bias  # [Bq,1,1,M] broadcasts over (g, H)
+    probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+    out = jnp.einsum("bghm,bmhd->bghd", probs, v)
+    out = out.reshape(b, 1, h, dk)
+    return _merge(out) @ p["o"].astype(dtype)
+
+
 def _project_kv(p, x, h, dk):
     return _split(x @ p["k"].astype(x.dtype), h, dk), _split(x @ p["v"].astype(x.dtype), h, dk)
 
@@ -338,7 +361,9 @@ def decode_step(cfg: T5Config, params: Params, token_ids, step, self_cache, cros
         new_cache.append({"k": k, "v": v})
         x = x + _attention(p["self_attn"], y, (k, v), bias, h, dk, cfg.compute_dtype)
         y = _rms(p["ln_cross"], x)
-        x = x + _attention(p["cross_attn"], y, ckv, enc_bias, h, dk, cfg.compute_dtype)
+        x = x + _cross_attention_step(
+            p["cross_attn"], y, ckv, enc_bias, h, dk, cfg.compute_dtype
+        )
         y = _rms(p["ln_ffn"], x)
         x = x + _ffn(cfg, p["ffn"], y)
     x = _rms(dec["final_ln"], x)

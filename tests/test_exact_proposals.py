@@ -163,10 +163,13 @@ def test_exact_topk_matches_lax_topk():
     xj = jnp.asarray(x)
     for k in (30, 64, 256):
         v1, i1 = lax.top_k(xj, k)
-        v2, i2 = _exact_topk(xj, k)
-        assert i2.shape == (24, k)
-        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2)), k
-        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2)), k
+        # 128 is the production default (DecodeConfig.exact_topk_blk);
+        # 32/64 stay covered as tunable operating points
+        for blk in (32, 64, 128):
+            v2, i2 = _exact_topk(xj, k, blk=blk)
+            assert i2.shape == (24, k)
+            np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2)), (k, blk)
+            np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2)), (k, blk)
 
 
 def test_slab_filled_buffer_does_not_stop_lm_sweep():
