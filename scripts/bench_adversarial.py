@@ -49,78 +49,81 @@ def main():
     batch = int(argv[0]) if len(argv) > 0 else 32
     beam = int(argv[1]) if len(argv) > 1 else 15
     length = 10
-    n_corpus_tokens = 512
+    # two adversary bands: 512 (few-continuation intervals -- the slab
+    # covers these) and 8192 (more distinct continuations than window+chunk
+    # can enumerate per round, forcing the completeness proof to work)
+    bands = [512, 8192]
 
     rng = np.random.default_rng(0)
     n_docs, doc_len, vocab = 10_000, 120, 50265
-    # few-continuation corpus: all text from a 512-token band; Zipf within
-    # the band makes common prefixes (large intervals) the norm
-    zipf = rng.zipf(1.3, size=n_docs * doc_len)
-    tokens = (zipf % n_corpus_tokens + 4).astype(np.int64).reshape(n_docs, doc_len)
-    docs = [row.tolist() + [2] for row in tokens]
-    host = FMIndex()
-    host.initialize(docs)
-    index = DeviceFMIndex.from_host(host, vocab=vocab)
-
     cfg = dataclasses.replace(bart_large(), dtype="bfloat16")
     params0 = dict(bart.init_params(jax.random.PRNGKey(0), cfg))
-    unigram = np.bincount(tokens.ravel() % vocab, minlength=vocab).astype(np.float64)
-    log_unigram = np.log((unigram + 0.5) / (unigram.sum() + 0.5 * vocab))
-    centered = (log_unigram - log_unigram.mean()).astype(np.float32)
 
-    queries = [
-        [0] + rng.integers(4, n_corpus_tokens, size=12).tolist() + [2]
-        for _ in range(batch)
-    ]
-    ids, mask = pad_batch(queries, cfg.pad_token_id)
+    for n_band in bands:
+        zipf = rng.zipf(1.3, size=n_docs * doc_len)
+        tokens = (zipf % n_band + 4).astype(np.int64).reshape(n_docs, doc_len)
+        docs = [row.tolist() + [2] for row in tokens]
+        host = FMIndex()
+        host.initialize(docs)
+        index = DeviceFMIndex.from_host(host, vocab=vocab)
 
-    def build(sign):
-        p = dict(params0)
-        p["final_logits_bias"] = p["final_logits_bias"] + sign * 4.0 * centered
-        p = convert.apply_seal_logits_bias(p, cfg)
-        return cast_params(cfg, p)
+        unigram = np.bincount(tokens.ravel() % vocab, minlength=vocab).astype(np.float64)
+        log_unigram = np.log((unigram + 0.5) / (unigram.sum() + 0.5 * vocab))
+        centered = (log_unigram - log_unigram.mean()).astype(np.float32)
 
-    results = {}
-    for label, sign in (("trained", +4.0 / 4.0), ("adversarial", -4.0 / 4.0)):
-        params = build(sign * 4.0)
+        queries = [
+            [0] + rng.integers(4, n_band, size=12).tolist() + [2]
+            for _ in range(batch)
+        ]
+        ids, mask = pad_batch(queries, cfg.pad_token_id)
 
-        def run():
-            return fm_index_generate(
-                cfg, params, index, ids, mask,
-                num_beams=beam, max_length=length, min_length=length - 1,
-                forced_bos_token_id=None,
-            )
+        def build(sign):
+            p = dict(params0)
+            p["final_logits_bias"] = p["final_logits_bias"] + sign * centered
+            p = convert.apply_seal_logits_bias(p, cfg)
+            return cast_params(cfg, p)
 
-        run()  # compile + warm (shared executable across signs)
-        times = []
-        rates = []
-        for _ in range(3):
-            t0 = time.time()
-            run()
-            times.append(time.time() - t0)
-            if LAST_DECODE_STATS.get("num_steps"):
-                rates.append(
-                    LAST_DECODE_STATS["fallback_steps"]
-                    / LAST_DECODE_STATS["num_steps"]
+        results = {}
+        for label, sign in (("trained", 4.0), ("adversarial", -4.0)):
+            params = build(sign)
+
+            def run():
+                return fm_index_generate(
+                    cfg, params, index, ids, mask,
+                    num_beams=beam, max_length=length, min_length=length - 1,
+                    forced_bos_token_id=None,
                 )
-        per = float(np.median(times))
-        results[label] = {
-            "qps": round(batch / per, 3),
-            "s_per_batch": round(per, 4),
-            "fallback_rate": round(float(np.median(rates)), 4) if rates else None,
-        }
-        print(f"# {label}: {results[label]}", file=sys.stderr)
 
-    adv, ref = results["adversarial"], results["trained"]
-    print(json.dumps({
-        "metric": "adversarial fallback cost (LM-averse few-continuation corpus)",
-        "adv_fallback_rate": adv["fallback_rate"],
-        "adv_qps": adv["qps"],
-        "same_corpus_trained_qps": ref["qps"],
-        "trained_fallback_rate": ref["fallback_rate"],
-        "qps_cost_ratio": round(ref["qps"] / adv["qps"], 3) if adv["qps"] else None,
-        "batch": batch, "beam": beam, "n_corpus_tokens": n_corpus_tokens,
-    }))
+            run()  # compile + warm (shared executable across signs)
+            times = []
+            rates = []
+            for _ in range(3):
+                t0 = time.time()
+                run()
+                times.append(time.time() - t0)
+                if LAST_DECODE_STATS.get("num_steps"):
+                    rates.append(
+                        LAST_DECODE_STATS["fallback_steps"]
+                        / LAST_DECODE_STATS["num_steps"]
+                    )
+            per = float(np.median(times))
+            results[label] = {
+                "qps": round(batch / per, 3),
+                "s_per_batch": round(per, 4),
+                "fallback_rate": round(float(np.median(rates)), 4) if rates else None,
+            }
+            print(f"# band={n_band} {label}: {results[label]}", file=sys.stderr)
+
+        adv, ref = results["adversarial"], results["trained"]
+        print(json.dumps({
+            "metric": "adversarial fallback cost (LM-averse corpus)",
+            "adv_fallback_rate": adv["fallback_rate"],
+            "adv_qps": adv["qps"],
+            "same_corpus_trained_qps": ref["qps"],
+            "trained_fallback_rate": ref["fallback_rate"],
+            "qps_cost_ratio": round(ref["qps"] / adv["qps"], 3) if adv["qps"] else None,
+            "batch": batch, "beam": beam, "n_corpus_tokens": n_band,
+        }), flush=True)
 
 
 if __name__ == "__main__":

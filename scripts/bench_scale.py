@@ -71,11 +71,17 @@ def main():
             num_layers=12, num_heads=12, dtype="bfloat16",
         )  # t5-base
         params = dict(t5mod.init_params(jax.random.PRNGKey(0), cfg))
-        # T5 carries no additive logits-bias param, so the corpus-unigram
-        # workload shaping bench.py applies to BART is unavailable:
-        # random-weight T5 runs the constraint loop on a flatter proposal
-        # distribution (pessimistic for single-round convergence; noted
-        # in BASELINE.md next to the number)
+        # same corpus-unigram workload shaping as the BART leg, via the
+        # optional final_logits_bias t5.lm_logits honors (HF T5 has none;
+        # random weights spread proposal mass uniformly, an operating
+        # point no trained model exhibits)
+        unigram = np.bincount(body.ravel() % vocab, minlength=vocab).astype(np.float64)
+        log_u = np.log((unigram + 0.5) / (unigram.sum() + 0.5 * vocab))
+        import jax.numpy as jnp
+
+        params["final_logits_bias"] = jnp.asarray(
+            4.0 * (log_u - log_u.mean()).astype(np.float32)
+        )
     else:
         cfg = dataclasses.replace(bart_large(), dtype="bfloat16")
         params = dict(bart.init_params(jax.random.PRNGKey(0), cfg))

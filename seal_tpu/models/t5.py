@@ -297,11 +297,20 @@ def lm_logits(cfg: T5Config, params: Params, hidden):
     if cfg.tie_word_embeddings:
         hidden = hidden * (cfg.d_model ** -0.5)
     dt = cfg.compute_dtype
-    return jnp.matmul(
+    logits = jnp.matmul(
         hidden.astype(dt),
         params["shared"].astype(dt).T,
         preferred_element_type=jnp.float32,
     )
+    # optional additive bias, mirroring BART's final_logits_bias: HF T5 has
+    # no such param (absent -> bit-identical to before), but converters and
+    # benchmarks use it for the same -inf masking / workload-shaping hacks
+    # the reference applies to BART (reference scripts patch the bias at
+    # conversion time; see models/convert.py)
+    bias = params.get("final_logits_bias")
+    if bias is not None:
+        logits = logits + bias
+    return logits
 
 
 def decode_full(cfg: T5Config, params: Params, enc_out, enc_mask, decoder_input_ids,

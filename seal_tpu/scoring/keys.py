@@ -104,9 +104,14 @@ def _jitted_rescore(model_cfg: BartConfig, n_prefix: int = 0):
 
     def run(params, enc_out, enc_mask, dec_ids):
         logits = bart.decode_full(model_cfg, params, enc_out, enc_mask, dec_ids[:, :-1])
-        lp = jax.nn.log_softmax(logits, axis=-1)
         tgt = dec_ids[:, 1:]
-        tok_lp = jnp.take_along_axis(lp, tgt[..., None], axis=-1)[..., 0]
+        # gather the target logit FIRST, then subtract the row logsumexp:
+        # log_softmax(x)[tgt] == x[tgt] - logsumexp(x) with the same
+        # max-shifted formula, and this order never materializes the full
+        # [B, T, V] log-prob tensor (~600 MB of HBM traffic per sub-batch
+        # at the serving shape) -- only the [B, T] gather and one reduction
+        tok_logit = jnp.take_along_axis(logits, tgt[..., None], axis=-1)[..., 0]
+        tok_lp = tok_logit - jax.scipy.special.logsumexp(logits, axis=-1)
         tok_lp = jnp.where(tgt < 2, 0.0, tok_lp)  # zero bos/pad (keys.py:132)
         # sum on device (dropping forced-prefix positions): the host only
         # needs one scalar per key, not the [B, T] table -- keeps the
