@@ -23,10 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # (exact_chunk, exact_loop_chunk, window, exact_topk_blk): window 0 = auto
 COMBOS = [
-    (64, 0, 0, 128),
+    (64, 0, 0, 128),  # recursive second stage (round 5)
     (64, 0, 0, 32),
     (64, 0, 0, 128),
     (64, 0, 0, 32),
+    (64, 0, 0, 128),
 ]
 
 

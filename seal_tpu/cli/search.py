@@ -37,6 +37,13 @@ def main(argv=None):
     parser.add_argument("--max_passage_hits", type=int, default=100)
     parser.add_argument("--max_passage_delimiter", type=str, default="#")
     parser.add_argument("--remove_duplicates", action="store_true", default=False)
+    parser.add_argument(
+        "--hybrid", default="none",
+        choices=["none", "ensemble", "recall", "recall-ensemble"],
+        help="accepted for reference CLI compatibility; the reference parses "
+        "this flag but never reads it (seal/search.py:19), so any value "
+        "other than 'none' only emits a warning here",
+    )
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--keep_samples", type=int, default=None)
     parser.add_argument("--chunked", type=int, default=0)
@@ -49,6 +56,12 @@ def main(argv=None):
     SEALSearcher.add_args(parser)
     args = parser.parse_args(argv)
     print(args)
+    if args.hybrid != "none":
+        print(
+            f"warning: --hybrid {args.hybrid} is accepted for compatibility "
+            "but has no effect (unused in the reference too)",
+            file=sys.stderr,
+        )
 
     if args.device and args.device not in ("auto", "cuda:0"):
         # e.g. --device cpu; the ambient sitecustomize pins the TPU platform,

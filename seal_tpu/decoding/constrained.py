@@ -43,7 +43,7 @@ restores the round-1 approximate mode (single approx-top-M round, no loop);
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -213,6 +213,14 @@ class DecodeConfig:
     #   its unstable topk returns -- so the fast path is the default.
     sample: bool = False  # num_beams independent constrained samplers
     topk: int = 0  # TopKLogitsWarper on the raw logits (0 = off)
+    adjust_logits_fn: Optional[Callable] = None  # model-specific raw-logit
+    #   hook (reference beam_search.py:248 calls
+    #   `model.adjust_logits_during_generation(logits, cur_len)` -- Marian
+    #   pins pad to -inf / forces EOS at max length; BART/T5 are no-ops).
+    #   Must be a PURE jax function of (logits [rows, V], cur_len) -- it is
+    #   traced into the step, and cur_len is a traced int32 inside the scan.
+    #   Compared/hashed by identity (part of the jit signature), so pass a
+    #   module-level function, not a fresh lambda per call.
     num_groups: int = 1  # diverse beam groups
     diversity_penalty: float = 0.0  # Hamming diversity between groups
     force_full: bool = False  # run every step through the proven-exact
@@ -267,6 +275,15 @@ class BeamSearchOutput:
 
 def _log_softmax(logits):
     return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+
+def _adjust_logits(logits, cur_len, cfg: DecodeConfig):
+    """``model.adjust_logits_during_generation`` hook point (reference
+    beam_search.py:248; HF semantics: cur_len = the column the sampled
+    token will occupy).  Runs on RAW logits before warpers/log-softmax."""
+    if cfg.adjust_logits_fn is None:
+        return logits
+    return cfg.adjust_logits_fn(logits, cur_len)
 
 
 def _apply_topk_warper(logits, cfg: DecodeConfig):
@@ -401,31 +418,60 @@ def _exact_topk(x, k: int, blk: int = 64, assume_finite: bool = False):
     rows = x.shape[0]
     fmin = float(np.finfo(np.float32).min)
     xs = x if assume_finite else jnp.maximum(x, fmin)
-    # block maxes via reduce_window: the earlier pad+reshape+max formulation
-    # made XLA materialize a COLUMN-MAJOR copy of the whole [rows, V] input
-    # to feed the pad (round-4 device trace: transpose copy 0.31 ms/step +
-    # pad 0.25 ms/step at the bench shape) -- reduce_window pads virtually
-    bm = lax.reduce_window(
-        xs, fmin, lax.max, (1, blk), (1, blk), ((0, 0), (0, nb * blk - V))
-    )
+    pad = nb * blk - V
+    mm = rows * k * nb * 4 <= (1 << 30)
+    if mm and pad and blk % 128 == 0:
+        # lane-aligned tail split (see the gather below): the [rows, nfull,
+        # blk] view of the leading full blocks is a BITCAST of x's native
+        # T(8,128) tiling, so block maxes are a minor-dim reduce on the view
+        # plus one tiny tail max -- no reduce_window, whose window/stride
+        # formulation made XLA feed it a COLUMN-MAJOR copy of the whole
+        # matrix (round-5 optimized HLO: copy {0,1} of f32[480,50265])
+        nfull = V // blk
+        xv = xs[:, : nfull * blk].reshape(rows, nfull, blk)
+        bm = jnp.concatenate(
+            [xv.max(-1), xs[:, nfull * blk :].max(-1, keepdims=True)], -1
+        )
+    else:
+        # reduce_window pads virtually (the earlier pad+reshape+max
+        # formulation materialized a physical pad copy, round-4 trace)
+        bm = lax.reduce_window(
+            xs, fmin, lax.max, (1, blk), (1, blk), ((0, 0), (0, nb * blk - V))
+        )
     _, bidx = lax.top_k(bm, k)
     bidx = jnp.sort(bidx, axis=-1)
-    pad = nb * blk - V
-    xp = jnp.pad(xs, ((0, 0), (0, pad)), constant_values=fmin) if pad else xs
-    xblk = xp.reshape(-1, nb, blk)
-    if rows * k * nb * 4 <= (1 << 30):
-        # one-hot matmul gather wins at BOTH operating shapes (v5e, round 4
-        # selparts A/B): [480, 50265] k=64 1.53 ms vs 1.81 take_along /
-        # 3.00 flat-take / 5.83 TopK; [2048, 50265] 7.3 ms vs 11.7
-        # take_along.  The old 256 MB guard routed the beam-32/batch-64
-        # class to take_along and cost config5 ~4.4 ms/step; the one-hot
-        # operand there is 824 MB of transient HBM -- fine on a 16 GB chip,
-        # so the guard now only protects truly degenerate shapes.
-        # Contraction order: xblk's nb axis is its SECOND-minor -- the
-        # natural row-major rhs of a matmul -- so contracting (xblk, onehot)
-        # and transposing the small [rows, blk, k] result keeps the big
-        # operand in x's native layout instead of re-tiling 96 MB
-        onehot = (bidx[:, :, None] == jnp.arange(nb, dtype=jnp.int32)).astype(
+    # one-hot matmul gather wins at BOTH operating shapes (v5e, round 4
+    # selparts A/B): [480, 50265] k=64 1.53 ms vs 1.81 take_along /
+    # 3.00 flat-take / 5.83 TopK; [2048, 50265] 7.3 ms vs 11.7
+    # take_along.  The old 256 MB guard routed the beam-32/batch-64
+    # class to take_along and cost config5 ~4.4 ms/step; the one-hot
+    # operand there is 824 MB of transient HBM -- fine on a 16 GB chip,
+    # so the guard now only protects truly degenerate shapes.
+    # Contraction order: xblk's nb axis is its SECOND-minor -- the
+    # natural row-major rhs of a matmul -- so contracting (xblk, onehot)
+    # and transposing the small [rows, blk, k] result keeps the big
+    # operand in x's native layout instead of re-tiling 96 MB
+    if mm and pad:
+        # tail-block split: padding x physically costs a SECOND full-matrix
+        # materialization on top of the unavoidable block-view re-tile
+        # (round-5 device trace: pad.0 + reshape copy, each ~0.11 ms/step at
+        # the bench shape).  Gather only the nfull FULL blocks (a slice whose
+        # reshape is the one re-tile) and append the tail columns -- padded
+        # to one lane-width block, a [rows, blk] copy -- as an always-present
+        # final slab segment.  A chosen TAIL block's gathered row is dead
+        # (its one-hot column is out of range -> all-zero coefficients) and
+        # is masked to fmin; dead rows can never reach the top-k: the slab
+        # positions before them hold (k-1)*blk >= k genuine entries, each of
+        # which beats a dead fmin slot on value or (at fmin ties) on lower
+        # position, so every dead slot is dominated k times over.  Slab
+        # column order stays ascending-original-column (bidx sorted asc,
+        # tail = the largest block id = last), preserving tie order.
+        nfull = V // blk
+        xblk = xs[:, : nfull * blk].reshape(rows, nfull, blk)
+        tail = jnp.pad(
+            xs[:, nfull * blk :], ((0, 0), (0, pad)), constant_values=fmin
+        )
+        onehot = (bidx[:, :, None] == jnp.arange(nfull, dtype=jnp.int32)).astype(
             jnp.float32
         )
         gt = lax.dot_general(
@@ -434,17 +480,46 @@ def _exact_topk(x, k: int, blk: int = 64, assume_finite: bool = False):
             (((1,), (2,)), ((0,), (0,))),
             precision=lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
-        )  # [rows, blk, k]; gt[r, :, j] == xblk[r, bidx[r, j], :], exactly
-        g = jnp.swapaxes(gt, 1, 2)
+        )
+        g = jnp.swapaxes(gt, 1, 2)  # [rows, k, blk]
+        g = jnp.where((bidx == nfull)[..., None], fmin, g)
+        slab = jnp.concatenate([g.reshape(rows, k * blk), tail], -1)
     else:
-        g = jnp.take_along_axis(xblk, bidx[:, :, None], axis=1)
-    v, i = lax.top_k(g.reshape(rows, k * blk), k)
+        xp = jnp.pad(xs, ((0, 0), (0, pad)), constant_values=fmin) if pad else xs
+        xblk = xp.reshape(-1, nb, blk)
+        if mm:
+            onehot = (bidx[:, :, None] == jnp.arange(nb, dtype=jnp.int32)).astype(
+                jnp.float32
+            )
+            gt = lax.dot_general(
+                xblk,
+                onehot,
+                (((1,), (2,)), ((0,), (0,))),
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # [rows, blk, k]; gt[r, :, j] == xblk[r, bidx[r, j], :], exactly
+            g = jnp.swapaxes(gt, 1, 2)
+        else:
+            g = jnp.take_along_axis(xblk, bidx[:, :, None], axis=1)
+        slab = g.reshape(rows, k * blk)
+    # second-stage selection: the slab's column order IS ascending
+    # original-column order (bidx sorted asc, within-block offsets asc), so
+    # any exact (value desc, index asc) top-k of the slab tie-breaks
+    # identically to the original -- including a RECURSIVE block-decomposed
+    # pass.  Recurse with blk=32 where legal (the k*blk*2 >= V guard above
+    # makes this a no-op for blk <= 64): at the bench shape the slab is
+    # [480, 16384] and the TPU TopK custom call there was the largest single
+    # op in the round-5 device trace (6.7 ms standalone; recursion 3.2 ms)
+    v, i = _exact_topk(slab, k, blk=32, assume_finite=True)
     # original column ids arithmetically: i = j * blk + off addresses the
     # j-th chosen block -- a [rows, k]-from-[rows, k] selection (_sel1)
     # replaces the round-4-trace 0.31 ms/step scalar gather of a
-    # precomputed [rows, k*blk] cols table
-    j = i // blk
+    # precomputed [rows, k*blk] cols table; slab positions past k*blk are
+    # the appended tail segment, whose columns start at nfull*blk
+    j = jnp.minimum(i // blk, k - 1)
     idx = _sel1(bidx, j) * blk + (i - j * blk)
+    if mm and pad:
+        idx = jnp.where(i >= k * blk, (V // blk) * blk + (i - k * blk), idx)
     if not assume_finite:
         # clamped -inf entries sort identically (nothing is below fmin) but
         # must report their true value.  Exact because a genuine x value can
@@ -1184,6 +1259,7 @@ def constrained_beam_search(
             cross_kv0,
             enc_bias0,
         )
+        logits = _adjust_logits(logits, jnp.int32(1), cfg)
         lp = _log_softmax(logits).reshape(B, K0, V)
         beam_scores = beam_scores + lp[:, :, bos]  # [B,K0] broadcasts over K
         tokens = tokens.at[:, 1].set(bos)
@@ -1233,6 +1309,7 @@ def constrained_beam_search(
         cross_kv0,
         enc_bias0,
     )
+    logits = _adjust_logits(logits, jnp.int32(start_col), cfg)
     logits = _apply_topk_warper(logits, cfg)
     lp = _apply_min_length(_log_softmax(logits), start_col, cfg)
     lp = lp.reshape(B, K0, V)
@@ -1291,6 +1368,7 @@ def constrained_beam_search(
         logits, new_cache = bart.decode_step(
             model_cfg, params, last, pos0 + 1 + t, self_cache, cross_kv, enc_bias
         )
+        logits = _adjust_logits(logits, cur_col + 1, cfg)
         logits = _apply_topk_warper(logits, cfg)
         lp = _apply_min_length(_log_softmax(logits), cur_col + 1, cfg)
 

@@ -204,6 +204,7 @@ def fm_index_generate_async(
     exact_ties: bool = False,
     sample: bool = False,
     topk: int = 0,
+    adjust_logits_fn=None,  # model-specific raw-logit hook, see DecodeConfig
     diverse_bs_groups: int = 1,
     diverse_bs_penalty: float = 0.0,
     seed: int = 0,
@@ -250,6 +251,7 @@ def fm_index_generate_async(
         exact_ties=exact_ties,
         sample=sample,
         topk=topk,
+        adjust_logits_fn=adjust_logits_fn,
         num_groups=diverse_bs_groups,
         diversity_penalty=diverse_bs_penalty,
     )

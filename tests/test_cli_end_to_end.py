@@ -74,6 +74,7 @@ def test_search_cli_dpr_topics_dpr_output(corpus_dir):
             "--tokenizer", str(d / "idx_kilt.word_vocab.json"),
             "--backbone", "tiny-word", "--beam", "3", "--length", "3",
             "--exact_mask", "--dont_decode_titles", "--dont_unigram_scores",
+            "--hybrid", "ensemble",  # reference CLI surface: accepted, no-op
         ]
     )
     assert rc == 0

@@ -79,6 +79,40 @@ def test_topk_warper_restricts_support(world):
         assert len(finals) == 1
 
 
+def _ban_even_tokens(logits, cur_len):
+    # Marian-style adjust_logits_during_generation stand-in (reference
+    # beam_search.py:248): pure jax fn of (raw logits, cur_len)
+    del cur_len
+    import jax.numpy as jnp
+
+    even = (jnp.arange(logits.shape[-1]) % 2 == 0) & (
+        jnp.arange(logits.shape[-1]) >= 4
+    )
+    return jnp.where(even, -jnp.inf, logits)
+
+
+def test_adjust_logits_hook_bans_tokens(world):
+    cfg, params, host, dev, ids, mask = world
+    kw = dict(
+        num_beams=4, max_length=6, min_length=0, forced_bos_token_id=None,
+    )
+    out = fm_index_generate(
+        cfg, params, dev, ids, mask, adjust_logits_fn=_ban_even_tokens,
+        exact_mask=True, **kw
+    )
+    out_fast = fm_index_generate(
+        cfg, params, dev, ids, mask, adjust_logits_fn=_ban_even_tokens, **kw
+    )
+    assert out == out_fast  # the hook runs upstream of both proposal paths
+    base = fm_index_generate(cfg, params, dev, ids, mask, **kw)
+    assert out != base
+    for hyps in out:
+        assert hyps
+        for _, toks in hyps:
+            assert _grounded(host, toks), toks
+            assert all(t < 4 or t % 2 == 1 for t in toks[1:]), toks
+
+
 def test_diverse_groups_produce_diverse_beams(world):
     cfg, params, host, dev, ids, mask = world
     common = dict(

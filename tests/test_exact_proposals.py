@@ -160,6 +160,12 @@ def test_exact_topk_matches_lax_topk():
     x[3] = -np.inf
     x[5, :4000] = 7.5  # plateau across many blocks
     x[7, 100:200] = x[7, 300:400] = 9.25
+    # tail-block stress (the tail-split gather: the final PARTIAL block is
+    # appended as its own slab segment; a tail-chosen gathered row is dead):
+    x[9, V - 40 :] = 50.0  # top values live in the tail columns
+    x[11] = -np.inf
+    x[11, V - 3 :] = 1.0  # few real values, all in the tail: -inf fill + tail pick
+    x[13, V - 257 :] = 8.0  # plateau straddling the last full block + tail
     xj = jnp.asarray(x)
     for k in (30, 64, 256):
         v1, i1 = lax.top_k(xj, k)
