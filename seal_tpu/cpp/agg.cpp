@@ -254,22 +254,75 @@ int64_t stage2_score(
     double* out_unigram, int64_t* found_off, int64_t* found_id,
     double* found_sco) {
   // sort triple indices by (doc, end, pattern length): the streaming-trie
-  // completion order the reference's matches dict is built in
+  // completion order the reference's matches dict is built in.
+  // ac_match emits triples already (doc asc, end asc)-ordered -- its doc
+  // scan is sequential and the output list at each position covers one end
+  // -- with only tiny len-DESCENDING runs inside each (doc, end) group (a
+  // node's own output precedes its fail-chain outputs, i.e. deeper first).
+  // An adaptive insertion sort over precomputed (doc, end, len) arrays is
+  // therefore O(n + sum run^2) instead of O(n log n) with a
+  // pointer-chasing comparator; any caller that passes unordered triples
+  // falls back to std::sort on the same precomputed keys (same order).
   std::vector<int64_t> order(static_cast<size_t>(n_triples), 0);
   for (int64_t i = 0; i < n_triples; ++i) order[size_t(i)] = i;
   auto plen = [&](int64_t p) { return pat_off[p + 1] - pat_off[p]; };
-  std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
-    int64_t da = triples[a * 3], db = triples[b * 3];
-    if (da != db) return da < db;
-    int64_t la = plen(triples[a * 3 + 1]), lb = plen(triples[b * 3 + 1]);
-    int64_t ea = triples[a * 3 + 2] + la, eb = triples[b * 3 + 2] + lb;
-    if (ea != eb) return ea < eb;
-    return la < lb;
-  });
+  const size_t nt = size_t(n_triples);
+  std::vector<int32_t> t_doc(nt), t_end(nt), t_len(nt);
+  bool doc_end_sorted = true;
+  for (int64_t i = 0; i < n_triples; ++i) {
+    int64_t p = triples[i * 3 + 1];
+    int32_t L = int32_t(pat_off[p + 1] - pat_off[p]);
+    t_doc[size_t(i)] = int32_t(triples[i * 3]);
+    t_len[size_t(i)] = L;
+    t_end[size_t(i)] = int32_t(triples[i * 3 + 2]) + L;
+    if (i > 0 && (t_doc[size_t(i)] < t_doc[size_t(i - 1)] ||
+                  (t_doc[size_t(i)] == t_doc[size_t(i - 1)] &&
+                   t_end[size_t(i)] < t_end[size_t(i - 1)])))
+      doc_end_sorted = false;
+  }
+  auto key_greater = [&](int64_t a, int64_t b) {
+    if (t_doc[size_t(a)] != t_doc[size_t(b)])
+      return t_doc[size_t(a)] > t_doc[size_t(b)];
+    if (t_end[size_t(a)] != t_end[size_t(b)])
+      return t_end[size_t(a)] > t_end[size_t(b)];
+    return t_len[size_t(a)] > t_len[size_t(b)];
+  };
+  if (doc_end_sorted) {
+    for (int64_t i = 1; i < n_triples; ++i) {
+      int64_t oi = order[size_t(i)];
+      int64_t j = i - 1;
+      while (j >= 0 && key_greater(order[size_t(j)], oi)) {
+        order[size_t(j + 1)] = order[size_t(j)];
+        --j;
+      }
+      order[size_t(j + 1)] = oi;
+    }
+  } else {
+    std::sort(order.begin(), order.end(),
+              [&](int64_t a, int64_t b) { return key_greater(b, a); });
+  }
 
   TokenSet coverage(max_token), scratch(max_token), seen(max_token);
   std::vector<int64_t> pat_entry_stamp(size_t(n_pats), -1);
   std::vector<int32_t> entry_of_pat(size_t(n_pats), -1);
+
+  // one (score desc, pattern-lex asc) rank per pattern, computed once: the
+  // per-doc greedy span sort then compares three ints instead of doubles +
+  // a token-wise lex walk.  Patterns are unique upstream (all_ngrams is a
+  // dict keyed by the token tuple), so (score, lex) is a strict total
+  // order and rank-order == the original comparator's order exactly.
+  const size_t npz = size_t(n_pats);
+  std::vector<int32_t> pat_rank(npz);
+  {
+    std::vector<int32_t> pidx(npz);
+    for (int64_t p = 0; p < n_pats; ++p) pidx[size_t(p)] = int32_t(p);
+    std::sort(pidx.begin(), pidx.end(), [&](int32_t a, int32_t b) {
+      if (pat_sco[a] != pat_sco[b]) return pat_sco[a] > pat_sco[b];
+      return lex_less(pat_data + pat_off[a], plen(a), pat_data + pat_off[b],
+                      plen(b));
+    });
+    for (int64_t r = 0; r < n_pats; ++r) pat_rank[size_t(pidx[size_t(r)])] = int32_t(r);
+  }
 
   struct Span {
     int32_t pat;
@@ -316,13 +369,10 @@ int64_t stage2_score(
     out_single_best[d] = best_sco;
 
     // greedy assignment: the reference's heap is fully built before any pop,
-    // so sorted order over (-score, pattern-lex, start, end) is identical
+    // so sorted order over (-score, pattern-lex, start, end) is identical;
+    // pat_rank encodes (-score, pattern-lex) as one int (see above)
     std::sort(spans.begin(), spans.end(), [&](const Span& a, const Span& b) {
-      double sa = pat_sco[a.pat], sb = pat_sco[b.pat];
-      if (sa != sb) return sa > sb;
-      if (a.pat != b.pat)
-        return lex_less(pat_data + pat_off[a.pat], plen(a.pat),
-                        pat_data + pat_off[b.pat], plen(b.pat));
+      if (a.pat != b.pat) return pat_rank[size_t(a.pat)] < pat_rank[size_t(b.pat)];
       if (a.i != b.i) return a.i < b.i;
       return a.j < b.j;
     });
@@ -381,12 +431,16 @@ int64_t stage2_score(
     for (int64_t k = 0; k < dlen; ++k) {
       if (!free_map[size_t(k)]) continue;
       int32_t t = dtoks[k];
-      if (seen.contains(t)) continue;
-      seen.add(t);
+      // score-first: tokens with s <= 0 contribute nothing whether deduped
+      // or not, so they skip the seen-set bookkeeping entirely (most of
+      // the doc's tokens in practice)
       double s = (unigram_scores != nullptr && t < n_unigram && t >= 0)
                      ? unigram_scores[t]
                      : 0.0;
-      if (s > 0.0) {
+      if (s <= 0.0) continue;
+      if (seen.contains(t)) continue;
+      seen.add(t);
+      {
         double s2;
         if (cov_size == 0) {
           s2 = s;
